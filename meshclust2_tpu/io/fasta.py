@@ -1,0 +1,214 @@
+"""FASTA parsing and DNA encoding.
+
+Replicates the sequence model of the reference's nonltr layer:
+  - record splitting / whitespace-line skipping: ChromListMaker.cpp:117-165
+  - --single-file joining with 50 Ns:            ChromListMaker.cpp:123-133
+  - ambiguous-run segmentation:                  Chromosome.cpp:263-291
+  - small-gap merge (<10 bp) + short-segment
+    drop (<20 bp), only when len > 20:           Chromosome.cpp:298-353
+  - 1 Mbp segment splitting:                     Chromosome.cpp:355-385
+  - effective size = sum of segment lengths:     Chromosome.cpp:420-427
+  - IUPAC one-digit encoding:                    ChromosomeOneDigitDna.cpp:48-68
+
+All outputs are numpy arrays ready for batched device k-mer counting.
+"""
+from __future__ import annotations
+
+import io as _io
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# One-digit DNA codes (ChromosomeOneDigitDna.cpp:48-68).  Note the reference's
+# quirky degenerate mappings (W->T, H->C, B->T, V->A, D->T, N->C, X->G) are
+# preserved exactly, since they change k-mer counts.
+_CODE_TABLE = np.full(256, -2, dtype=np.int8)  # -2 = invalid letter
+for ch, code in [
+    ("A", 0), ("C", 1), ("G", 2), ("T", 3),
+    ("R", 2), ("Y", 1), ("M", 0), ("K", 3),
+    ("S", 2), ("W", 3), ("H", 1), ("B", 3),
+    ("V", 0), ("D", 3), ("N", 1), ("X", 2),
+]:
+    _CODE_TABLE[ord(ch)] = code
+
+_SEG_LENGTH = 1_000_000  # Chromosome.cpp:29 (help(1000000, true))
+
+
+@dataclass
+class SequenceRecord:
+    """A parsed FASTA record, encoded and segmented.
+
+    codes holds the one-digit encoding for every position (including positions
+    outside segments, mirroring ChromosomeOneDigit::encode which digitizes
+    skipped intervals too); positions holding 'N' outside segments keep -1.
+    """
+
+    header: str                       # full header line including '>'
+    codes: np.ndarray                 # int8 [L]
+    segments: np.ndarray              # int64 [S, 2] inclusive (start, end)
+    effective_size: int
+    total_size: int
+
+    def segment_lengths(self) -> np.ndarray:
+        if len(self.segments) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return self.segments[:, 1] - self.segments[:, 0] + 1
+
+
+def _find_raw_segments(is_n: np.ndarray) -> List[Tuple[int, int]]:
+    """Maximal non-N runs, replicating Chromosome::removeAmbiguous
+    (Chromosome.cpp:263-291) including its last-position quirk: a segment
+    whose start is first set at the final index is dropped."""
+    n = len(is_n)
+    segs: List[Tuple[int, int]] = []
+    if n == 0:
+        return segs
+    # Vectorized run detection.
+    not_n = ~is_n
+    if not not_n.any():
+        return segs
+    diff = np.diff(not_n.astype(np.int8))
+    starts = list(np.nonzero(diff == 1)[0] + 1)
+    ends = list(np.nonzero(diff == -1)[0])
+    if not_n[0]:
+        starts.insert(0, 0)
+    if not_n[-1]:
+        ends.append(n - 1)
+    for s, e in zip(starts, ends):
+        if s == n - 1:
+            # Reference quirk: `if (base[i] != N && start == -1) start = i;`
+            # wins over the close-at-end branch, so a run that *begins* at the
+            # last base never emits a segment (Chromosome.cpp:267-284).
+            continue
+        segs.append((int(s), int(e)))
+    return segs
+
+
+def _merge_segments(segs: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
+    """Merge gaps < 10 bp; drop merged segments < 20 bp
+    (Chromosome.cpp:298-353)."""
+    if not segs:
+        return segs
+    out: List[Tuple[int, int]] = []
+    s, e = segs[0]
+    for s1, e1 in segs[1:]:
+        if s1 - e < 10:
+            e = e1
+        else:
+            if e - s + 1 >= 20:
+                out.append((s, e))
+            s, e = s1, e1
+    if e - s + 1 >= 20:
+        out.append((s, e))
+    return out
+
+
+def _split_segments(segs: List[Tuple[int, int]], seg_length: int = _SEG_LENGTH) -> List[Tuple[int, int]]:
+    """Split long segments into ~seg_length fragments
+    (Chromosome.cpp:355-385).  k-mers spanning fragment boundaries are by
+    construction not counted, matching the reference."""
+    out: List[Tuple[int, int]] = []
+    for s, e in segs:
+        ln = e - s + 1
+        if ln > seg_length:
+            frag_num = ln // seg_length
+            for h in range(frag_num):
+                fs = s + h * seg_length
+                fe = e if h == frag_num - 1 else fs + seg_length - 1
+                out.append((fs, fe))
+        else:
+            out.append((s, e))
+    return out
+
+
+def encode_sequence(header: str, seq: str, can_merge: bool = True) -> SequenceRecord:
+    """Uppercase, segment, and one-digit encode a raw sequence string.
+
+    Mirrors Chromosome::help (Chromosome.cpp:130-154) followed by
+    ChromosomeOneDigit::encode (ChromosomeOneDigit.cpp:79-133)."""
+    arr = np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)
+    codes = _CODE_TABLE[arr]
+    is_n = arr == ord("N")
+    segs = _find_raw_segments(is_n)
+    if can_merge and len(arr) > 20:
+        segs = _merge_segments(segs)
+    segs = _split_segments(segs)
+    if (codes == -2).any():
+        bad = arr[codes == -2][0]
+        raise ValueError(f"Invalid nucleotide: {chr(bad)!r} in {header}")
+    # Positions that are 'N' and OUTSIDE every segment stay unencoded (the
+    # reference leaves them as the raw 'N' char); we mark them -1.  'N's
+    # *inside* merged segments encode to C via the table, which the table
+    # already did.
+    out_codes = codes.copy()
+    if segs:
+        inside = np.zeros(len(arr), dtype=bool)
+        for s, e in segs:
+            inside[s : e + 1] = True
+        out_codes[is_n & ~inside] = -1
+    else:
+        out_codes[is_n] = -1
+    seg_arr = np.asarray(segs, dtype=np.int64).reshape(-1, 2)
+    eff = int((seg_arr[:, 1] - seg_arr[:, 0] + 1).sum()) if len(seg_arr) else 0
+    return SequenceRecord(
+        header=header,
+        codes=out_codes,
+        segments=seg_arr,
+        effective_size=eff,
+        total_size=len(arr),
+    )
+
+
+def iter_fasta(path: str):
+    """Yield (header_line_with_gt, sequence_string) pairs.
+
+    CRLF-safe; lines starting with space/tab are skipped
+    (ChromListMaker.cpp:24-48,154)."""
+    with open(path, "r", newline="") as f:
+        header: Optional[str] = None
+        chunks: List[str] = []
+        for raw in f:
+            line = raw.rstrip("\r\n")
+            if line.startswith(">"):
+                if header is not None:
+                    yield header, "".join(chunks)
+                header = line
+                chunks = []
+            elif line[:1] in (" ", "\t"):
+                continue
+            else:
+                chunks.append(line)
+        if header is not None:
+            yield header, "".join(chunks)
+
+
+def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:
+    """Parse a FASTA file into encoded records.
+
+    single_file=True joins every record with 50 'N's into one record keeping
+    the first header (ChromListMaker.cpp:117-165)."""
+    records = list(iter_fasta(path))
+    if not records:
+        return []
+    if single_file:
+        header = records[0][0]
+        joined = ("N" * 50).join(seq for _, seq in records)
+        return [encode_sequence(header, joined)]
+    return [encode_sequence(h, s) for h, s in records]
+
+
+def acgt_only(seq: str) -> str:
+    """Strip every non-ACGT character (Loader.cpp:111-120)."""
+    keep = set("ACGT")
+    return "".join(c for c in seq if c in keep)
+
+
+def codes_to_acgt(codes: np.ndarray) -> str:
+    """Decode one-digit codes 0..3 back to an ACGT string
+    (Predictor.cpp:571-595 bin->ACGT with 'N'->'C')."""
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    arr = np.asarray(codes)
+    if (arr < 0).any():
+        arr = np.where(arr < 0, 1, arr)  # 'N' -> 'C' (Predictor.cpp:587-589)
+    return lut[arr.astype(np.intp)].tobytes().decode("ascii")

@@ -1,0 +1,27 @@
+import os
+
+# Force CPU with a virtual 8-device mesh for sharding tests; the real TPU is
+# reserved for bench runs.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+import numpy as np
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
