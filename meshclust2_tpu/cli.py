@@ -1,0 +1,256 @@
+"""meshclust2-compatible command-line driver.
+
+Flag set and orchestration mirror the reference CLI (CRunner.cpp:243-477 for
+flags, CRunner.cpp:51-127 run / 555-597 do_run for orchestration):
+
+    meshclust2-tpu --id 0.9 [OPTIONS] *.fasta
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .features import flags as F
+from .io.clstr import write_clstr
+from .io.fasta import read_fasta
+from .kmer.counting import (
+    PointSet,
+    build_point_set,
+    concat_point_sets,
+    find_k,
+    largest_pseudocount,
+    select_datatype,
+)
+from .model.classifier import CompiledModel
+from .model.weights import PredictorModel, load_weights
+from .cluster.engine import MeanShiftEngine
+from .utils.clock import Clock
+
+
+MUT_SINGLE = 1
+MUT_NON_SINGLE = 2
+MUT_BOTH = MUT_SINGLE | MUT_NON_SINGLE
+MUT_TRANSLOCATION = 4
+MUT_REVERSION = 8
+MUT_ATYPICAL = MUT_TRANSLOCATION | MUT_REVERSION
+
+MUT_TYPES = {
+    "all": MUT_BOTH | MUT_ATYPICAL,
+    "both": MUT_BOTH,
+    "snp": MUT_SINGLE,
+    "single": MUT_SINGLE,
+    "nonsingle-typical": MUT_NON_SINGLE,
+    "nonsingle-all": MUT_NON_SINGLE | MUT_ATYPICAL,
+    "all-but-reversion": MUT_BOTH | MUT_TRANSLOCATION,
+    "all-but-translocation": MUT_BOTH | MUT_REVERSION,
+}
+
+FEAT_SETS = {
+    "fast": F.PRED_FEAT_FAST,
+    "slow": F.PRED_FEAT_FAST | F.PRED_FEAT_DIV,
+    "extraslow": F.PRED_FEAT_ALL,
+}
+
+DATATYPES = {
+    "8": "uint8_t", "uint8": "uint8_t", "uint8_t": "uint8_t",
+    "16": "uint16_t", "uint16": "uint16_t", "uint16_t": "uint16_t",
+    "32": "uint32_t", "uint32": "uint32_t", "uint32_t": "uint32_t",
+    "64": "uint64_t", "uint64": "uint64_t", "uint64_t": "uint64_t",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="meshclust2-tpu",
+        description="TPU-native alignment-free mean-shift clustering of DNA sequences",
+    )
+    p.add_argument("files", nargs="*", help="FASTA input files")
+    p.add_argument("--id", type=float, default=0.90, dest="identity")
+    p.add_argument("-k", "--kmer", type=int, default=-1)
+    p.add_argument("--dump", nargs="?", const="weights.txt", default=None)
+    p.add_argument("-r", "--recover", default=None)
+    p.add_argument("-l", "--list", dest="list_file", default=None)
+    p.add_argument("--no-train-list", "--notrain-list", dest="notrain_list", default=None)
+    p.add_argument("--mut-type", choices=sorted(MUT_TYPES), default="both")
+    p.add_argument("--feat", "-f", choices=sorted(FEAT_SETS), default="fast")
+    p.add_argument("--single-file", action="store_true")
+    p.add_argument("-s", "--sample", type=int, default=2000)
+    p.add_argument("--num-templates", type=int, default=300)
+    p.add_argument("--min", "--min-feat", dest="min_feat", type=int, default=4)
+    p.add_argument("--max", "--max-feat", dest="max_feat", type=int, default=4)
+    p.add_argument("--min-id", type=float, default=0.35)
+    p.add_argument("--datatype", choices=sorted(DATATYPES), default=None)
+    p.add_argument("-t", "--threads", type=int, default=0, help="accepted for compatibility")
+    p.add_argument("-o", "--output", default="output.clstr")
+    p.add_argument("-d", "--delta", type=int, default=5)
+    p.add_argument("-i", "--iter", "--iterations", dest="iterations", type=int, default=15)
+    p.add_argument("-b", "--bias", type=float, default=0.0)
+    p.add_argument(
+        "--device",
+        choices=["auto", "host", "tpu"],
+        default="auto",
+        help="scoring backend: float64 host oracle or batched device kernels",
+    )
+    return p
+
+
+def load_sorted_points(
+    train_files: List[str],
+    notrain_files: List[str],
+    k: int,
+    datatype: str,
+    single_file: bool,
+    keep_seqs_train: bool = True,
+) -> tuple:
+    """get_points for train + notrain files with the reference's sort-by-
+    header-then-length (CRunner.cpp:504-544) and id assignment in final
+    length order (CRunner.cpp:577-593).
+
+    Returns (train_ps_sorted, all_ps_sorted)."""
+    def load(files, keep):
+        sets = []
+        for fpath in files:
+            recs = read_fasta(fpath, single_file)
+            if recs:
+                sets.append(build_point_set(recs, k, datatype, keep_seqs=keep))
+        return sets
+
+    train_sets = load(train_files, keep_seqs_train)
+    train_ps = concat_point_sets(train_sets) if train_sets else None
+    if train_ps is not None:
+        train_ps = sort_points(train_ps)
+    notrain_sets = load(notrain_files, False)
+    if notrain_sets:
+        rest = concat_point_sets(notrain_sets)
+        combined = concat_point_sets([train_ps, rest]) if train_ps is not None else rest
+        combined = sort_points(combined)
+    else:
+        combined = train_ps
+    if combined is not None:
+        combined.ids = np.arange(combined.n, dtype=np.int64)
+    return train_ps, combined
+
+
+def sort_points(ps: PointSet) -> PointSet:
+    """Sort by header, then by length (two sequential std::sorts,
+    CRunner.cpp:538-539; ties between equal lengths keep header order here)."""
+    hdr_order = sorted(range(ps.n), key=lambda i: ps.headers[i])
+    ps1 = ps.subset(np.array(hdr_order))
+    len_order = sorted(range(ps1.n), key=lambda i: int(ps1.lengths[i]))
+    return ps1.subset(np.array(len_order))
+
+
+def make_scorer(ps: PointSet, model: CompiledModel, device: str):
+    if device == "host":
+        from .cluster.engine import HostScorer
+
+        return HostScorer(ps, model)
+    from .ops.device_features import DeviceScorer
+
+    return DeviceScorer(ps, model, exact_recheck=True)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    clock = Clock()
+
+    train_files = list(args.files)
+    if args.list_file:
+        with open(args.list_file) as f:
+            train_files += [l.strip() for l in f if l.strip()]
+    notrain_files = []
+    if args.notrain_list:
+        with open(args.notrain_list) as f:
+            notrain_files = [l.strip() for l in f if l.strip()]
+    # de-dup like the reference's std::set normalization (CRunner.cpp:455-468)
+    train_files = sorted(set(train_files))
+    notrain_files = sorted(set(notrain_files) - set(train_files))
+    if not train_files:
+        build_parser().print_help()
+        return 1
+
+    recovered: Optional[PredictorModel] = None
+    k = args.kmer
+    similarity = args.identity
+    datatype = DATATYPES[args.datatype] if args.datatype else None
+    if args.recover:
+        recovered = load_weights(args.recover)
+        k = recovered.k
+        similarity = recovered.id_cutoff
+        datatype = recovered.datatype
+
+    all_files = train_files + notrain_files
+    per_file_records = [read_fasta(f, args.single_file) for f in all_files]
+
+    if k == -1:
+        k = find_k(per_file_records, len(train_files))
+        print(f"Recommended K: {k}")
+
+    if datatype is None:
+        largest = 0
+        for recs in per_file_records:
+            largest = max(largest, largest_pseudocount(recs, k))
+        print(f"Largest count: {largest}")
+        datatype = select_datatype(largest)
+    print(f"Using {datatype} histograms")
+
+    train_ps, all_ps = load_sorted_points(
+        train_files, notrain_files, k, datatype, args.single_file
+    )
+    clock.stamp("read_in_points")
+
+    if recovered is not None:
+        model = CompiledModel(recovered.classifier, bias=args.bias)
+    else:
+        from .train.predictor import train_predictor
+
+        min_id = args.min_id
+        if similarity < 0.6:
+            min_id = 0.2  # CRunner.cpp:570-574
+        pred_model = train_predictor(
+            train_ps,
+            k=k,
+            identity=similarity,
+            datatype=datatype,
+            feat_flags=FEAT_SETS[args.feat],
+            mut_type=MUT_TYPES[args.mut_type],
+            min_feat=args.min_feat,
+            max_feat=args.max_feat,
+            min_id=min_id,
+            n_samples=args.sample,
+            n_templates=args.num_templates,
+            clock=clock,
+        )
+        from .model.weights import save_weights
+
+        save_weights(args.dump or "weights.txt", pred_model)
+        if args.dump:
+            return 0
+        model = CompiledModel(pred_model.classifier, bias=args.bias)
+
+    # clustering runs on all points (train + notrain), sequences dropped
+    all_ps.seqs = None
+    scorer = make_scorer(all_ps, model, args.device)
+    engine = MeanShiftEngine(
+        all_ps,
+        model,
+        similarity,
+        scorer=scorer,
+        delta=args.delta,
+        iterations=args.iterations,
+    )
+    clusters = engine.run()
+    print(f"Number of clusters before update: {engine.stats.clusters_before_update}")
+    clock.stamp("accumulate")
+    write_clstr(args.output, engine.to_output(clusters))
+    clock.stamp("update")
+    clock.stamp("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

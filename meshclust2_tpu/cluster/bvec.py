@@ -1,0 +1,205 @@
+"""Length-binned point pool — behavioral equivalent of the reference's bvec
+(bvec.cpp / bvec_iterator.cpp).
+
+Points are referenced by integer row index into a PointSet whose rows are in
+ascending-length order.  The pool partitions points into ~bin_size bins keyed
+by length boundaries; candidate windows for a center are (bin, slot) ranges
+queried by length.  Several quirks of the reference are preserved because
+they are observable in cluster output:
+
+  - window end position is exclusive (ClusterFactory's `i < iend` loop,
+    Trainer.cpp:42);
+  - a begin-length below the smallest bin bound resolves to the *last* bin
+    (index_of initializes low = size-1, bvec.cpp:125-147), which empties the
+    window for multi-bin pools;
+  - insertion picks the middle of the least-filled eligible bins
+    (bvec.cpp:149-184);
+  - removal collects marked entries bin-major in slot order
+    (bvec.cpp:341-384).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class BVec:
+    def __init__(self, lengths: np.ndarray, bin_size: int = 1000):
+        lengths = np.sort(np.asarray(lengths, dtype=np.int64))
+        self.begin_bounds: List[int] = [int(lengths[i]) for i in range(0, len(lengths), bin_size)]
+        nb = len(self.begin_bounds)
+        self.bins: List[List[int]] = [[] for _ in range(nb)]       # point rows
+        self.marks: List[List[bool]] = [[] for _ in range(nb)]
+        self._lengths: Optional[np.ndarray] = None
+
+    # -- construction -------------------------------------------------------
+
+    def insert(self, row: int, length: int) -> None:
+        front, back = self._index_of(length)
+        sizes = [len(self.bins[i]) for i in range(front, back + 1)]
+        if not sizes:
+            raise RuntimeError("no bins to insert into")
+        minimum = min(sizes)
+        min_bins = [front + i for i, s in enumerate(sizes) if s == minimum]
+        target = min_bins[len(min_bins) // 2]
+        self.bins[target].append(row)
+        self.marks[target].append(False)
+
+    def insert_finalize(self, lengths: np.ndarray) -> None:
+        """Sort each bin by length (bvec.cpp:215-233).  The reference's
+        std::sort is unstable; ties between equal lengths are broken by
+        insertion order here (stable), which is observationally equivalent on
+        tie-free data."""
+        self._lengths = np.asarray(lengths, dtype=np.int64)
+        for i, b in enumerate(self.bins):
+            b.sort(key=lambda r: int(self._lengths[r]))
+            self.marks[i] = [False] * len(b)
+
+    # -- queries ------------------------------------------------------------
+
+    def pop(self) -> Optional[int]:
+        for i, b in enumerate(self.bins):
+            if b:
+                self.marks[i].pop(0)
+                return b.pop(0)
+        return None
+
+    def size(self) -> int:
+        return sum(len(b) for b in self.bins)
+
+    def empty(self) -> bool:
+        return all(not b for b in self.bins)
+
+    def _index_of(self, length: int) -> Tuple[int, int]:
+        """Bin range whose [begin, next_begin) interval contains `length`
+        (bvec.cpp:122-147).  Returns (low, high) with the reference's
+        initialization quirk: low = nbins-1 when nothing matches."""
+        nb = len(self.begin_bounds)
+        low, high = nb - 1, 0
+        for i in range(1, nb):
+            if self.begin_bounds[i - 1] <= length < self.begin_bounds[i]:
+                low = min(low, i - 1)
+                high = max(high, i - 1)
+        if length >= self.begin_bounds[nb - 1]:
+            high = max(high, nb - 1)
+        return low, high
+
+    def _inner_index_of(self, length: int, idx: int, want_front: bool, want_back: bool):
+        """(bvec.cpp:51-120).  Returns (idx, front, back); front/back None
+        when not requested."""
+        front_out = back_out = None
+        if idx >= len(self.bins) or not self.bins[idx]:
+            if want_front:
+                for i in range(len(self.bins)):
+                    if self.bins[i]:
+                        idx = i
+                        front_out = 0
+                        break
+            if want_back:
+                for i in range(len(self.bins) - 1, -1, -1):
+                    if self.bins[i]:
+                        idx = i
+                        back_out = 0
+                        break
+            return idx, front_out, back_out
+    # binary search within the bin, replicating the reference's loop with its
+    # low==high break (bvec.cpp:76-104)
+        lens = self._lengths
+        b = self.bins[idx]
+        front = back = 0
+        low, high = 0, len(b) - 1
+        while low <= high:
+            mid = (low + high) // 2
+            d = int(lens[b[mid]])
+            if d == length:
+                front = back = mid
+                break
+            elif length < d:
+                high = mid
+            else:
+                low = mid + 1
+            if low == high:
+                front = low
+                back = high
+                break
+        if want_front:
+            i = front
+            while i >= 0 and int(lens[b[i]]) == length:
+                front = i
+                i -= 1
+            front_out = front
+        if want_back:
+            i = back
+            while i < len(b) and int(lens[b[i]]) == length:
+                back = i
+                i += 1
+            back_out = back
+        return idx, front_out, back_out
+
+    def get_range(self, begin_len: int, end_len: int):
+        """((front_bin, front_slot), (back_bin, back_slot), back_empty)
+        (bvec.cpp:260-330)."""
+        f_bin, _ = self._index_of(begin_len)[0], None
+        b_bin = self._index_of(end_len)[1]
+        f_bin, f_slot, _ = self._inner_index_of(begin_len, f_bin, True, False)
+        b_bin, _, b_slot = self._inner_index_of(end_len, b_bin, False, True)
+        back_empty = b_slot is None or b_bin is None
+        if f_slot is None:
+            f_slot = 0
+            back_empty = True
+        return (f_bin, f_slot), (b_bin if b_slot is not None else b_bin, b_slot or 0), back_empty
+
+    def window_positions(self, front, back) -> List[Tuple[int, int]]:
+        """All (bin, slot) positions from front inclusive to back exclusive,
+        bin-major — the `for (i = istart; i < iend; ++i)` walk
+        (Trainer.cpp:42, bvec_iterator.h:40-48)."""
+        fr, fc = front
+        br, bc = back
+        out = []
+        r, c = fr, fc
+        # normalize start position like operator++ would after exhausting a bin
+        while r < len(self.bins) and c >= len(self.bins[r]):
+            r += 1
+            c = 0
+        while (r, c) < (br, bc):
+            if r >= len(self.bins):
+                break
+            out.append((r, c))
+            if c + 1 < len(self.bins[r]):
+                c += 1
+            else:
+                r += 1
+                c = 0
+                while r < len(self.bins) and not self.bins[r]:
+                    r += 1
+        return out
+
+    def rows_at(self, positions) -> np.ndarray:
+        return np.array([self.bins[r][c] for r, c in positions], dtype=np.int64)
+
+    def mark(self, positions) -> None:
+        for r, c in positions:
+            self.marks[r][c] = True
+
+    def erase(self, r: int, c: int) -> None:
+        del self.bins[r][c]
+        del self.marks[r][c]
+
+    def remove_available(self, front, back) -> List[int]:
+        """Collect and remove every marked entry in bins front..back
+        (full bins, not slot-bounded) in bin-major slot order
+        (bvec.cpp:341-384)."""
+        a, b = front[0], back[0]
+        out: List[int] = []
+        for i in range(a, min(b, len(self.bins) - 1) + 1):
+            keep_rows, keep_marks = [], []
+            for row, m in zip(self.bins[i], self.marks[i]):
+                if m:
+                    out.append(row)
+                else:
+                    keep_rows.append(row)
+                    keep_marks.append(m)
+            self.bins[i] = keep_rows
+            self.marks[i] = keep_marks
+        return out
