@@ -2,7 +2,9 @@ import os
 
 # Force CPU with a virtual 8-device mesh for sharding tests; the real TPU is
 # reserved for bench runs.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unconditional: the ambient environment may point JAX at the real TPU
+# (JAX_PLATFORMS=axon); tests must stay on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import pytest
 import numpy as np
