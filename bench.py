@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark: sequences/sec clustered at --id 0.9 (recover path), ours vs the
+reference C++ binary on the same machine/dataset.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "seqs/s", "vs_baseline": R}
+
+Methodology (BASELINE.md): seqs/sec = N / (t_done - t_read_in_points), i.e.
+training excluded (both sides load a shared weights.txt via --recover), FASTA
+parse + k-mer counting excluded, clustering included.  The reference is built
+from /root/reference sources (copied to /tmp, patched for a missing
+<limits> include) and run with all cores; ours runs the device scorer on the
+default JAX platform (the real TPU chip under the driver).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/mc2_bench"
+REF_SRC = "/root/reference"
+N_SEQS = int(os.environ.get("BENCH_N_SEQS", "10000"))
+N_TEMPLATES = int(os.environ.get("BENCH_N_TEMPLATES", "200"))
+SEED = 424242
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+
+
+def ensure_dataset(path: str) -> None:
+    if os.path.exists(path):
+        return
+    import numpy as np
+
+    rng = np.random.default_rng(SEED)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    per = N_SEQS // N_TEMPLATES
+    with open(path, "w") as f:
+        for t in range(N_TEMPLATES):
+            tl = int(rng.integers(800, 1500))
+            tmpl = rng.integers(0, 4, tl)
+            for j in range(per):
+                rate = rng.uniform(0.01, 0.12)
+                r = rng.random(tl)
+                keep = r >= rate * 0.3
+                sub = r < rate * 0.7
+                seq = np.where(sub, rng.integers(0, 4, tl), tmpl)[keep]
+                s = bases[seq].tobytes().decode()
+                f.write(f">seq{t}_{j} template_{t}\n")
+                for i in range(0, len(s), 70):
+                    f.write(s[i : i + 70] + "\n")
+    log(f"dataset: {path} ({N_SEQS} seqs)")
+
+
+def ensure_reference_binary() -> str | None:
+    exe = os.path.join(BENCH_DIR, "refbin", "meshclust2")
+    if os.path.exists(exe):
+        return exe
+    try:
+        src = os.path.join(BENCH_DIR, "refsrc")
+        if not os.path.exists(src):
+            shutil.copytree(REF_SRC, src)
+            bvec = os.path.join(src, "src/cluster/bvec.cpp")
+            with open(bvec) as f:
+                txt = f.read()
+            if "#include <limits>" not in txt:
+                txt = txt.replace(
+                    "#include <algorithm>", "#include <algorithm>\n#include <limits>"
+                )
+                with open(bvec, "w") as f:
+                    f.write(txt)
+        bld = os.path.join(BENCH_DIR, "refbuild")
+        os.makedirs(bld, exist_ok=True)
+        subprocess.run(["cmake", src], cwd=bld, check=True, capture_output=True)
+        subprocess.run(["make", "-j", str(os.cpu_count() or 2)], cwd=bld,
+                       check=True, capture_output=True)
+        os.makedirs(os.path.dirname(exe), exist_ok=True)
+        shutil.copy(os.path.join(src, "bin", "meshclust2"), exe)
+        return exe
+    except Exception as e:  # build failure -> no baseline available
+        log("reference build failed:", e)
+        return None
+
+
+def ensure_weights(fasta: str, weights: str) -> None:
+    if os.path.exists(weights):
+        return
+    log("training classifier for shared weights ...")
+    from meshclust2_tpu.cli import main
+
+    cwd = os.getcwd()
+    os.chdir(BENCH_DIR)
+    try:
+        rc = main(["--id", "0.9", "--kmer", "5", "--mut-type", "single",
+                   "--dump", weights, "--device", "host", fasta])
+        assert rc == 0
+    finally:
+        os.chdir(cwd)
+
+
+def parse_timestamps(text: str) -> dict:
+    out = {}
+    for m in re.finditer(r"timestamp (\S+) ([0-9.eE+-]+)", text):
+        out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def run_reference(exe: str, fasta: str, weights: str) -> float | None:
+    try:
+        out = os.path.join(BENCH_DIR, "ref_out.clstr")
+        p = subprocess.run(
+            [exe, "--recover", weights, "--output", out, fasta],
+            capture_output=True, text=True, timeout=3 * 3600, cwd=BENCH_DIR,
+        )
+        ts = parse_timestamps(p.stdout)
+        if "done" in ts and "read_in_points" in ts:
+            return N_SEQS / (ts["done"] - ts["read_in_points"])
+        log("reference run missing timestamps; rc=", p.returncode,
+            p.stdout[-500:], p.stderr[-500:])
+    except Exception as e:
+        log("reference run failed:", e)
+    return None
+
+
+def run_ours(fasta: str, weights: str, device: str) -> float:
+    import io
+    from contextlib import redirect_stdout
+
+    from meshclust2_tpu.cli import main
+
+    out = os.path.join(BENCH_DIR, f"tpu_out_{device}.clstr")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--recover", weights, "--output", out, "--device", device, fasta])
+    assert rc == 0
+    sys.stderr.write(buf.getvalue()[-2000:] + "\n")
+    ts = parse_timestamps(buf.getvalue())
+    return N_SEQS / (ts["done"] - ts["read_in_points"])
+
+
+def main() -> int:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    fasta = os.path.join(BENCH_DIR, f"bench_{N_SEQS}.fasta")
+    weights = os.path.join(BENCH_DIR, f"bench_{N_SEQS}_weights.txt")
+    ensure_dataset(fasta)
+    ensure_weights(fasta, weights)
+
+    device = os.environ.get("BENCH_DEVICE", "tpu")
+    t0 = time.time()
+    ours = run_ours(fasta, weights, device)
+    log(f"ours ({device}): {ours:.1f} seqs/s (wall {time.time()-t0:.0f}s)")
+
+    ref_rate = None
+    exe = ensure_reference_binary()
+    if exe:
+        t0 = time.time()
+        ref_rate = run_reference(exe, fasta, weights)
+        log(f"reference: {ref_rate and round(ref_rate,1)} seqs/s (wall {time.time()-t0:.0f}s)")
+
+    vs = (ours / ref_rate) if ref_rate else None
+    print(json.dumps({
+        "metric": f"seqs_per_sec_cluster_{N_SEQS}_id0.9_recover",
+        "value": round(ours, 2),
+        "unit": "seqs/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

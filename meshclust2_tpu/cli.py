@@ -136,12 +136,13 @@ def load_sorted_points(
 
 
 def sort_points(ps: PointSet) -> PointSet:
-    """Sort by header, then by length (two sequential std::sorts,
-    CRunner.cpp:538-539; ties between equal lengths keep header order here)."""
-    hdr_order = sorted(range(ps.n), key=lambda i: ps.headers[i])
-    ps1 = ps.subset(np.array(hdr_order))
-    len_order = sorted(range(ps1.n), key=lambda i: int(ps1.lengths[i]))
-    return ps1.subset(np.array(len_order))
+    """Sort by header, then by length — two sequential std::sorts
+    (CRunner.cpp:538-539).  Uses the native std::sort permutation helper so
+    equal-length tie order matches the reference's unstable introsort."""
+    from .native import sort_perm, sort_perm_strings
+
+    ps1 = ps.subset(sort_perm_strings(ps.headers))
+    return ps1.subset(sort_perm(ps1.lengths))
 
 
 def make_scorer(ps: PointSet, model: CompiledModel, device: str):
@@ -243,9 +244,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         delta=args.delta,
         iterations=args.iterations,
     )
-    clusters = engine.run()
-    print(f"Number of clusters before update: {engine.stats.clusters_before_update}")
-    clock.stamp("accumulate")
+    clusters = engine.run(clock=clock)
     write_clstr(args.output, engine.to_output(clusters))
     clock.stamp("update")
     clock.stamp("done")

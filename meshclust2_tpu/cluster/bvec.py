@@ -47,13 +47,17 @@ class BVec:
         self.marks[target].append(False)
 
     def insert_finalize(self, lengths: np.ndarray) -> None:
-        """Sort each bin by length (bvec.cpp:215-233).  The reference's
-        std::sort is unstable; ties between equal lengths are broken by
-        insertion order here (stable), which is observationally equivalent on
-        tie-free data."""
+        """Sort each bin by length (bvec.cpp:215-233) with the native
+        std::sort permutation helper, so equal-length tie order matches the
+        reference's unstable introsort."""
+        from ..native import sort_perm
+
         self._lengths = np.asarray(lengths, dtype=np.int64)
         for i, b in enumerate(self.bins):
-            b.sort(key=lambda r: int(self._lengths[r]))
+            if b:
+                keys = self._lengths[np.asarray(b, dtype=np.int64)]
+                perm = sort_perm(keys.astype(np.uint64))
+                self.bins[i] = [b[j] for j in perm]
             self.marks[i] = [False] * len(b)
 
     # -- queries ------------------------------------------------------------

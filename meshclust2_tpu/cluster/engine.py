@@ -62,11 +62,13 @@ def c_round(x):
 
 def distance_d(counts_rows: np.ndarray, mags_rows: np.ndarray, top: np.ndarray) -> np.ndarray:
     """DivergencePoint::distance_d against a double-valued mean histogram
-    (DivergencePoint.cpp:54-66): 10000*(1-frac^2),
-    frac = sum 2*min(p, round(top)) / sum(p + top)."""
-    r = np.floor(top + 0.5)
-    dist = 2.0 * np.minimum(counts_rows, r[None, :]).sum(axis=1)
-    mag = mags_rows + top.sum()
+    (DivergencePoint.cpp:54-66): 10000*(1-frac^2) with
+    dist = sum 2*min(p_i, round(top_i)) and mag accumulated into a uint64_t,
+    i.e. each (p_i + top_i) TRUNCATED before summing — both sums are
+    integer-exact, making the value deterministic."""
+    r = np.floor(top + 0.5)  # C round() for non-negative values
+    dist = 2.0 * np.minimum(counts_rows, r[None, :]).sum(axis=1, dtype=np.float64)
+    mag = np.trunc(counts_rows + top[None, :]).sum(axis=1, dtype=np.float64)
     frac = dist / mag
     return 10000.0 * (1.0 - frac * frac)
 
@@ -273,12 +275,15 @@ class MeanShiftEngine:
 
     # ---------------- public API ----------------
 
-    def run(self) -> List[Cluster]:
+    def run(self, clock=None) -> List[Cluster]:
         bv = BVec(self.ps.lengths, self.bin_size)
         for row in range(self.ps.n):
             bv.insert(row, int(self.ps.lengths[row]))
         bv.insert_finalize(self.ps.lengths)
         clusters = self.accumulate_all(bv)
+        print(f"Number of clusters before update: {len(clusters)}")
+        if clock is not None:
+            clock.stamp("accumulate")
         self.update_phase(clusters)
         return clusters
 

@@ -162,9 +162,14 @@ def _gen_balanced(
             else:
                 neg_buf.append((row_, seq_, val_))
     buf_size = min(len(pos_buf), len(neg_buf))
-    key = lambda t: abs(t[2] - identity)
-    pos_buf.sort(key=key)
-    neg_buf.sort(key=key)
+    from ..native import sort_perm
+
+    def sort_by_dist(buf):
+        keys = np.array([abs(t[2] - identity) for t in buf])
+        return [buf[j] for j in sort_perm(keys)]
+
+    pos_buf = sort_by_dist(pos_buf)
+    neg_buf = sort_by_dist(neg_buf)
     kept = remove_uniform(pos_buf, buf_size) + remove_uniform(neg_buf, 2 * buf_size)
     return kept
 
