@@ -25,26 +25,30 @@ import numpy as np
 
 
 class BVec:
+    """Bins are numpy int64 row arrays with parallel boolean mark arrays;
+    all window/removal operations are vectorized."""
+
     def __init__(self, lengths: np.ndarray, bin_size: int = 1000):
         lengths = np.sort(np.asarray(lengths, dtype=np.int64))
         self.begin_bounds: List[int] = [int(lengths[i]) for i in range(0, len(lengths), bin_size)]
         nb = len(self.begin_bounds)
-        self.bins: List[List[int]] = [[] for _ in range(nb)]       # point rows
-        self.marks: List[List[bool]] = [[] for _ in range(nb)]
+        self._build: List[List[int]] = [[] for _ in range(nb)]
+        self.bins: List[np.ndarray] = [np.zeros(0, np.int64) for _ in range(nb)]
+        self.marks: List[np.ndarray] = [np.zeros(0, bool) for _ in range(nb)]
         self._lengths: Optional[np.ndarray] = None
+        self._bounds_arr = np.asarray(self.begin_bounds, dtype=np.int64)
 
     # -- construction -------------------------------------------------------
 
     def insert(self, row: int, length: int) -> None:
         front, back = self._index_of(length)
-        sizes = [len(self.bins[i]) for i in range(front, back + 1)]
+        sizes = [len(self._build[i]) for i in range(front, back + 1)]
         if not sizes:
             raise RuntimeError("no bins to insert into")
         minimum = min(sizes)
         min_bins = [front + i for i, s in enumerate(sizes) if s == minimum]
         target = min_bins[len(min_bins) // 2]
-        self.bins[target].append(row)
-        self.marks[target].append(False)
+        self._build[target].append(row)
 
     def insert_finalize(self, lengths: np.ndarray) -> None:
         """Sort each bin by length (bvec.cpp:215-233) with the native
@@ -53,27 +57,31 @@ class BVec:
         from ..native import sort_perm
 
         self._lengths = np.asarray(lengths, dtype=np.int64)
-        for i, b in enumerate(self.bins):
-            if b:
-                keys = self._lengths[np.asarray(b, dtype=np.int64)]
-                perm = sort_perm(keys.astype(np.uint64))
-                self.bins[i] = [b[j] for j in perm]
-            self.marks[i] = [False] * len(b)
+        for i, b in enumerate(self._build):
+            arr = np.asarray(b, dtype=np.int64)
+            if len(arr):
+                perm = sort_perm(self._lengths[arr].astype(np.uint64))
+                arr = arr[perm]
+            self.bins[i] = arr
+            self.marks[i] = np.zeros(len(arr), dtype=bool)
+        self._build = [[] for _ in self._build]
 
     # -- queries ------------------------------------------------------------
 
     def pop(self) -> Optional[int]:
         for i, b in enumerate(self.bins):
-            if b:
-                self.marks[i].pop(0)
-                return b.pop(0)
+            if len(b):
+                row = int(b[0])
+                self.bins[i] = b[1:]
+                self.marks[i] = self.marks[i][1:]
+                return row
         return None
 
     def size(self) -> int:
         return sum(len(b) for b in self.bins)
 
     def empty(self) -> bool:
-        return all(not b for b in self.bins)
+        return all(len(b) == 0 for b in self.bins)
 
     def _index_of(self, length: int) -> Tuple[int, int]:
         """Bin range whose [begin, next_begin) interval contains `length`
@@ -93,16 +101,16 @@ class BVec:
         """(bvec.cpp:51-120).  Returns (idx, front, back); front/back None
         when not requested."""
         front_out = back_out = None
-        if idx >= len(self.bins) or not self.bins[idx]:
+        if idx >= len(self.bins) or len(self.bins[idx]) == 0:
             if want_front:
                 for i in range(len(self.bins)):
-                    if self.bins[i]:
+                    if len(self.bins[i]):
                         idx = i
                         front_out = 0
                         break
             if want_back:
                 for i in range(len(self.bins) - 1, -1, -1):
-                    if self.bins[i]:
+                    if len(self.bins[i]):
                         idx = i
                         back_out = 0
                         break
@@ -154,56 +162,56 @@ class BVec:
             back_empty = True
         return (f_bin, f_slot), (b_bin if b_slot is not None else b_bin, b_slot or 0), back_empty
 
-    def window_positions(self, front, back) -> List[Tuple[int, int]]:
-        """All (bin, slot) positions from front inclusive to back exclusive,
-        bin-major — the `for (i = istart; i < iend; ++i)` walk
-        (Trainer.cpp:42, bvec_iterator.h:40-48)."""
+    def window(self, front, back):
+        """All candidates from front inclusive to back exclusive in bin-major
+        order — the `for (i = istart; i < iend; ++i)` walk (Trainer.cpp:42,
+        bvec_iterator.h:40-48).  Returns (rows, bin_ids, slots) arrays."""
         fr, fc = front
         br, bc = back
-        out = []
-        r, c = fr, fc
         # normalize start position like operator++ would after exhausting a bin
+        r, c = fr, fc
         while r < len(self.bins) and c >= len(self.bins[r]):
             r += 1
             c = 0
-        while (r, c) < (br, bc):
-            if r >= len(self.bins):
-                break
-            out.append((r, c))
-            if c + 1 < len(self.bins[r]):
-                c += 1
-            else:
-                r += 1
-                c = 0
-                while r < len(self.bins) and not self.bins[r]:
-                    r += 1
-        return out
+        rows_parts, bin_parts, slot_parts = [], [], []
+        while r < len(self.bins) and (r, c) < (br, bc):
+            hi = bc if r == br else len(self.bins[r])
+            if hi > c:
+                rows_parts.append(self.bins[r][c:hi])
+                bin_parts.append(np.full(hi - c, r, dtype=np.int64))
+                slot_parts.append(np.arange(c, hi, dtype=np.int64))
+            r += 1
+            c = 0
+        if not rows_parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return (
+            np.concatenate(rows_parts),
+            np.concatenate(bin_parts),
+            np.concatenate(slot_parts),
+        )
 
-    def rows_at(self, positions) -> np.ndarray:
-        return np.array([self.bins[r][c] for r, c in positions], dtype=np.int64)
-
-    def mark(self, positions) -> None:
-        for r, c in positions:
-            self.marks[r][c] = True
+    def mark_slots(self, bin_ids: np.ndarray, slots: np.ndarray) -> None:
+        for r in np.unique(bin_ids):
+            self.marks[r][slots[bin_ids == r]] = True
 
     def erase(self, r: int, c: int) -> None:
-        del self.bins[r][c]
-        del self.marks[r][c]
+        self.bins[r] = np.delete(self.bins[r], c)
+        self.marks[r] = np.delete(self.marks[r], c)
 
-    def remove_available(self, front, back) -> List[int]:
+    def remove_available(self, front, back) -> np.ndarray:
         """Collect and remove every marked entry in bins front..back
         (full bins, not slot-bounded) in bin-major slot order
         (bvec.cpp:341-384)."""
         a, b = front[0], back[0]
-        out: List[int] = []
+        out = []
         for i in range(a, min(b, len(self.bins) - 1) + 1):
-            keep_rows, keep_marks = [], []
-            for row, m in zip(self.bins[i], self.marks[i]):
-                if m:
-                    out.append(row)
-                else:
-                    keep_rows.append(row)
-                    keep_marks.append(m)
-            self.bins[i] = keep_rows
-            self.marks[i] = keep_marks
-        return out
+            m = self.marks[i]
+            if m.any():
+                out.append(self.bins[i][m])
+                keep = ~m
+                self.bins[i] = self.bins[i][keep]
+                self.marks[i] = m[keep]
+        if not out:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate(out)

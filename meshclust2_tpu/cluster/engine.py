@@ -37,7 +37,10 @@ class Scorer(Protocol):
 
 
 class HostScorer:
-    """Exact float64 scoring via the host oracle."""
+    """Exact float64 scoring via the host oracle (chunked to bound the
+    [chunk, 4^k] float64 temporaries)."""
+
+    CHUNK = 2048
 
     def __init__(self, ps: PointSet, model: CompiledModel):
         self.ps = ps
@@ -50,9 +53,21 @@ class HostScorer:
             b_rows = np.broadcast_to(b_rows, a_rows.shape)
         if len(a_rows) == 1 and len(b_rows) > 1:
             a_rows = np.broadcast_to(a_rows, b_rows.shape)
-        A = H.side_from_pointset(self.ps, a_rows)
-        B = H.side_from_pointset(self.ps, b_rows)
-        return self.model.score(A, B)
+        n = len(a_rows)
+        if n <= self.CHUNK:
+            A = H.side_from_pointset(self.ps, a_rows)
+            B = H.side_from_pointset(self.ps, b_rows)
+            return self.model.score(A, B)
+        probs = np.empty(n)
+        dists = np.empty(n)
+        for s in range(0, n, self.CHUNK):
+            e = min(n, s + self.CHUNK)
+            A = H.side_from_pointset(self.ps, a_rows[s:e])
+            B = H.side_from_pointset(self.ps, b_rows[s:e])
+            p, d = self.model.score(A, B)
+            probs[s:e] = p
+            dists[s:e] = d
+        return probs, dists
 
 
 def c_round(x):
@@ -120,10 +135,9 @@ class MeanShiftEngine:
         front, back, back_empty = bv.get_range(begin_len, end_len)
         if back_empty:
             return None, None, True, front, back
-        positions = bv.window_positions(front, back)
-        if not positions:
+        rows, bin_ids, slots = bv.window(front, back)
+        if len(rows) == 0:
             return None, None, True, front, back
-        rows = bv.rows_at(positions)
         lens = self.ps.lengths[rows]
         min_len = int(length * self.sim)
         max_len = int(length / self.sim)
@@ -139,10 +153,16 @@ class MeanShiftEngine:
         # argmax by dist, first strict max wins (sequential pmax,
         # Trainer.cpp:57)
         best_i = int(np.argmax(dist))  # np.argmax returns first max
-        best_sel = sel[best_i]
-        marked = [positions[i] for i in sel[pos_mask]]
-        bv.mark(marked)
-        return int(rows[best_sel]), positions[best_sel], is_min, front, back
+        best_sel = int(sel[best_i])
+        marked = sel[pos_mask]
+        bv.mark_slots(bin_ids[marked], slots[marked])
+        return (
+            int(rows[best_sel]),
+            (int(bin_ids[best_sel]), int(slots[best_sel])),
+            is_min,
+            front,
+            back,
+        )
 
     def _get_mean(self, current: List[int]) -> int:
         """Member closest to the arithmetic mean (ClusterFactory.cpp:337-380),
@@ -215,40 +235,101 @@ class MeanShiftEngine:
             return clusters[j].members[0]
         return center
 
+    def _batched_mean_shift_update(self, clusters: List[Cluster], delta: int) -> List[int]:
+        """All centers' re-estimations of one iteration in a single scoring
+        batch (the reference's `#pragma omp parallel for` over j,
+        ClusterFactory.cpp:639-641; iterations are independent because they
+        read only neighbor *members*, never neighbor centers)."""
+        C = len(clusters)
+        member_arrays = [np.asarray(c.members, dtype=np.int64) for c in clusters]
+        a_parts, b_parts, seg_parts = [], [], []
+        for j in range(C):
+            i_begin = max(0, j - delta)
+            i_end = min(j + delta, C - 1)
+            rows = (
+                np.concatenate(member_arrays[i_begin : i_end + 1])
+                if i_end >= i_begin
+                else np.zeros(0, np.int64)
+            )
+            # length window prefilter (Trainer.cpp:125-131)
+            cen_len = int(self.ps.lengths[clusters[j].center_row])
+            lens = self.ps.lengths[rows]
+            lp = (lens >= int(self.sim * cen_len)) & (lens <= int(cen_len / self.sim))
+            rows = rows[lp]
+            a_parts.append(np.full(len(rows), clusters[j].center_row, dtype=np.int64))
+            b_parts.append(rows)
+            seg_parts.append(np.full(len(rows), j, dtype=np.int64))
+        a_arr = np.concatenate(a_parts)
+        b_arr = np.concatenate(b_parts)
+        seg = np.concatenate(seg_parts)
+        if len(a_arr):
+            prob, _ = self.scorer.score(a_arr, b_arr)
+            self.stats.pairs_scored += len(a_arr)
+            keep = c_round(prob) != 0
+        else:
+            keep = np.zeros(0, bool)
+        new_centers = []
+        for j in range(C):
+            good = b_arr[(seg == j) & keep]
+            if len(good) > 0:
+                top = self._counts_f[good].mean(axis=0)
+                d = distance_d(
+                    self.ps.counts[good], self.ps.mags[good].astype(np.float64), top
+                )
+                new_centers.append(int(good[int(np.argmin(d))]))
+            elif delta == 0:
+                new_centers.append(int(clusters[j].members[0]))
+            else:
+                new_centers.append(clusters[j].center_row)
+        return new_centers
+
     def _merge_pass(self, clusters: List[Cluster], delta: int) -> bool:
         """Classifier-directed center merging (ClusterFactory.cpp:382-401,
-        Trainer.cpp:73-109)."""
-        num_merge = 0
-        for i in range(len(clusters)):
-            last_j = min(len(clusters) - 1, i + delta)
+        Trainer.cpp:73-109).  All (i, j in i+1..i+delta) center pairs are
+        scored in one batch — legal because merge decisions depend only on
+        center points and lengths, which are fixed during the pass; the
+        absorb/delete bookkeeping is then applied in the reference's
+        sequential order."""
+        C = len(clusters)
+        cen_rows = np.array([c.center_row for c in clusters], dtype=np.int64)
+        cen_lens = self.ps.lengths[cen_rows]
+        a_parts, seg_parts, j_parts = [], [], []
+        for i in range(C):
+            last_j = min(C - 1, i + delta)
             if last_j <= i:
                 continue
-            p = clusters[i].center_row
-            cen_length = int(self.ps.lengths[p])
-            min_length = int(cen_length * self.sim)
-            max_length = int(cen_length / self.sim)
             cand = np.arange(i + 1, last_j + 1)
-            cen_rows = np.array([clusters[j].center_row for j in cand], dtype=np.int64)
-            lens = self.ps.lengths[cen_rows]
-            length_pass = (lens >= min_length) & (lens <= max_length)
-            best = (0, -np.inf)
-            if length_pass.any():
-                sel = np.nonzero(length_pass)[0]
-                prob, dist = self.scorer.score(cen_rows[sel], np.array([p]))
-                self.stats.pairs_scored += len(sel)
-                res = c_round(prob)
-                for idx_in_sel, j_local in enumerate(sel):
-                    if res[idx_in_sel] == 1:
-                        d = dist[idx_in_sel]
-                        # ties: later candidate wins (best.second > dist keeps
-                        # best only when strictly greater, Trainer.cpp:104)
-                        if not (best[1] > d):
-                            best = (int(cand[j_local]), d)
-            ret = best[0]
-            if ret > i:
-                num_merge += 1
-                clusters[ret].members.extend(clusters[i].members)
-                clusters[i].deleted = True
+            min_length = int(cen_lens[i] * self.sim)
+            max_length = int(cen_lens[i] / self.sim)
+            lp = (cen_lens[cand] >= min_length) & (cen_lens[cand] <= max_length)
+            cand = cand[lp]
+            a_parts.append(cen_rows[cand])
+            j_parts.append(cand)
+            seg_parts.append(np.full(len(cand), i, dtype=np.int64))
+        num_merge = 0
+        if a_parts:
+            a_arr = np.concatenate(a_parts)
+            seg = np.concatenate(seg_parts)
+            jj = np.concatenate(j_parts)
+            if len(a_arr):
+                # order (candidate center j, center i) (Trainer.cpp:93)
+                prob, dist = self.scorer.score(a_arr, cen_rows[seg])
+                self.stats.pairs_scored += len(a_arr)
+                res1 = c_round(prob) == 1
+                for i in range(C):
+                    m = (seg == i) & res1
+                    if not m.any():
+                        continue
+                    d = dist[m]
+                    cj = jj[m]
+                    # ties: later candidate wins (best.second > dist keeps
+                    # best only when strictly greater, Trainer.cpp:104)
+                    best_k = len(d) - 1 - int(np.argmax(d[::-1]))
+                    ret = int(cj[best_k])
+                    if ret > i:
+                        num_merge += 1
+                        clusters[ret].members.extend(clusters[i].members)
+                        clusters[i].deleted = True
         if num_merge:
             clusters[:] = [c for c in clusters if not c.deleted]
         return num_merge > 0
@@ -258,18 +339,13 @@ class MeanShiftEngine:
         for it in range(self.iterations):
             if it >= 3 and len(clusters) == num_clusters[it - 3]:
                 break
-            new_centers = [
-                self._mean_shift_update(clusters, j, self.delta)
-                for j in range(len(clusters))
-            ]
+            new_centers = self._batched_mean_shift_update(clusters, self.delta)
             for c, nc in zip(clusters, new_centers):
                 c.center_row = nc
             self._merge_pass(clusters, self.delta)
             num_clusters.append(len(clusters))
             self.stats.update_iterations += 1
-        new_centers = [
-            self._mean_shift_update(clusters, j, 0) for j in range(len(clusters))
-        ]
+        new_centers = self._batched_mean_shift_update(clusters, 0)
         for c, nc in zip(clusters, new_centers):
             c.center_row = nc
 

@@ -1,0 +1,277 @@
+"""fastcar — all-vs-query identity search/estimation.
+
+Rebuild of the reference's second executable (FC_Runner.cpp): a GLM
+classifier gates candidate (database, query) pairs inside a length window,
+and an optional GLM regression head estimates percent identity for the
+survivors.  Output is the reference's per-thread `<output>N` TSV format
+(query  db  identity%); this implementation writes one file, `<output>0`.
+
+Search scoring is batched: every (query, window-candidate) pair of a
+db-chunk x query-chunk block is classified in one pass.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from .features import flags as F
+from .io.fasta import iter_fasta, encode_sequence
+from .kmer.counting import (
+    PointSet,
+    build_point_set,
+    concat_point_sets,
+    largest_pseudocount,
+    select_datatype,
+)
+from .model.classifier import CompiledModel
+from .model.weights import (
+    PredictorModel,
+    load_weights,
+    save_weights,
+    PRED_MODE_CLASS,
+    PRED_MODE_REGR,
+)
+from .cli import MUT_TYPES, DATATYPES
+from .cluster.engine import HostScorer, c_round
+from .features import host as H
+
+FEAT_SETS = {"fast": F.PRED_FEAT_FAST, "slow": F.PRED_FEAT_FAST | F.PRED_FEAT_DIV}
+MODES = {"c": PRED_MODE_CLASS, "r": PRED_MODE_REGR,
+         "rc": PRED_MODE_CLASS | PRED_MODE_REGR,
+         "cr": PRED_MODE_CLASS | PRED_MODE_REGR}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fastcar-tpu",
+                                description="all-vs-query identity search")
+    p.add_argument("files", nargs="*", help="database FASTA files")
+    p.add_argument("-q", "--query", action="append", default=[], required=False)
+    p.add_argument("--id", type=float, default=-1.0, dest="identity")
+    p.add_argument("-k", "--kmer", type=int, default=-1)
+    p.add_argument("--datatype", choices=sorted(DATATYPES), default=None)
+    p.add_argument("-c", "--chunk", type=int, default=10000)
+    p.add_argument("--dump", default=None)
+    p.add_argument("--no-format", "--noformat", dest="noformat", action="store_true")
+    p.add_argument("-o", "--output", default="output.search")
+    p.add_argument("-r", "--recover", default=None)
+    p.add_argument("-f", "--feat", choices=sorted(FEAT_SETS), default="fast")
+    p.add_argument("-m", "--mode", choices=sorted(MODES), default="rc")
+    p.add_argument("-s", "--sample", type=int, default=300)
+    p.add_argument("--mut-type", choices=sorted(MUT_TYPES), default="single")
+    p.add_argument("-t", "--threads", type=int, default=0)
+    return p
+
+
+def format_header(hdr: str) -> str:
+    """(FC_Runner.cpp:410-424): strip '>' and truncate after first space/tab
+    (keeping the delimiter)."""
+    b = 1 if hdr.startswith(">") else 0
+    length = len(hdr)
+    for i in range(b, len(hdr)):
+        if hdr[i] in (" ", "\t"):
+            length = i + 1
+            break
+    return hdr[b:length]
+
+
+def bin_search(lengths: np.ndarray, length: int) -> int:
+    """The reference's window lower-bound search with its quirks
+    (FC_Runner.cpp:390-408)."""
+    def rec(begin: int, last: int) -> int:
+        if last < begin:
+            return 0
+        idx = begin + (last - begin) // 2
+        l = int(lengths[idx])
+        if l == length:
+            while idx > 0 and int(lengths[idx - 1]) == length:
+                idx -= 1
+            return idx
+        elif l > length:
+            if begin == idx:
+                return idx
+            return rec(begin, idx - 1)
+        else:
+            return rec(idx + 1, last)
+
+    n = len(lengths)
+    return rec(0, n - 1) if n else 0
+
+
+def load_chunks(files: List[str], k: int, datatype: str, chunk: int):
+    """Stream records into PointSet chunks of ~chunk sequences."""
+    buf = []
+    for fpath in files:
+        for header, seq in iter_fasta(fpath):
+            buf.append(encode_sequence(header, seq))
+            if len(buf) >= chunk:
+                yield build_point_set(buf, k, datatype)
+                buf = []
+    if buf:
+        yield build_point_set(buf, k, datatype)
+
+
+def search(
+    db_ps: PointSet,
+    q_ps: PointSet,
+    model_c: Optional[CompiledModel],
+    model_r: Optional[CompiledModel],
+    similarity: float,
+    out,
+    delim: str,
+    do_format: bool,
+) -> int:
+    """One db-chunk x query-chunk block (FC_Runner.cpp:426-471), batched."""
+    from .native import sort_perm
+
+    order = sort_perm(db_ps.lengths.astype(np.uint64))
+    db = db_ps.subset(order)
+    a_parts, q_parts = [], []
+    for qi in range(q_ps.n):
+        q_len = int(q_ps.lengths[qi])
+        begin_length = int(q_len * similarity)
+        end_length = int(q_len / similarity)
+        start = bin_search(db.lengths, begin_length)
+        end = start
+        while end < db.n and int(db.lengths[end]) <= end_length:
+            end += 1
+        idxs = np.arange(start, end, dtype=np.int64)
+        a_parts.append(idxs)
+        q_parts.append(np.full(len(idxs), qi, dtype=np.int64))
+    if not a_parts:
+        return 0
+    a_arr = np.concatenate(a_parts)
+    q_arr = np.concatenate(q_parts)
+    if len(a_arr) == 0:
+        return 0
+    A = H.side_from_pointset(db, a_arr)
+    B = H.side_from_pointset(q_ps, q_arr)
+    keep = np.ones(len(a_arr), dtype=bool)
+    if model_c is not None:
+        prob, _ = model_c.score(A, B)
+        keep = c_round(prob) > 0
+    sim = np.ones(len(a_arr))
+    if model_r is not None and keep.any():
+        sel = np.nonzero(keep)[0]
+        Ak = H.side_from_pointset(db, a_arr[sel])
+        Bk = H.side_from_pointset(q_ps, q_arr[sel])
+        sim_sel = model_r.regression_value(Ak, Bk)
+        sim = np.zeros(len(a_arr))
+        sim[sel] = sim_sel
+    n_pos = 0
+    for i in np.nonzero(keep)[0]:
+        n_pos += 1
+        s = sim[i]
+        if s > 0:
+            qh = q_ps.headers[int(q_arr[i])]
+            dh = db.headers[int(a_arr[i])]
+            if do_format:
+                qh, dh = format_header(qh), format_header(dh)
+            out.write(f"{qh}{delim}{dh}{delim}{100 * s:g}\n")
+    return n_pos
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.files or not args.query:
+        build_parser().print_help()
+        return 1
+    similarity = args.identity
+    mode = MODES[args.mode]
+
+    recovered: Optional[PredictorModel] = None
+    k = args.kmer
+    datatype = DATATYPES[args.datatype] if args.datatype else None
+    if args.recover:
+        recovered = load_weights(args.recover)
+        k = recovered.k
+        datatype = recovered.datatype
+        similarity = recovered.id_cutoff
+        mode = recovered.mode
+
+    # k selection from the first <=10000 raw sequence lengths
+    # (FC_Runner.cpp:64-84: RAW lengths, not effective sizes)
+    sample_records = []
+    if k == -1 or datatype is None:
+        count = 0
+        for fpath in args.files:
+            for header, seq in iter_fasta(fpath):
+                sample_records.append(encode_sequence(header, seq))
+                count += 1
+                if count >= 10000:
+                    break
+            if count >= 10000:
+                break
+    if k == -1:
+        total = sum(r.total_size for r in sample_records)
+        avg = total / max(1, len(sample_records))
+        k = max(int(math.ceil(math.log(avg) / math.log(4)) - 1), 2)
+    print(f"K: {k}")
+    if datatype is None:
+        largest = largest_pseudocount(sample_records, k)
+        datatype = select_datatype(largest)
+    print(f"Using {datatype} histograms")
+
+    if recovered is not None:
+        model = recovered
+    else:
+        if similarity < 0 and (mode & PRED_MODE_CLASS):
+            print("Classification specified, but no identity score given (--id)")
+            return 1
+        if similarity < 0:
+            similarity = 0.9
+        # template selection: sort by RAW length, stride to ~sample templates
+        # (FC_Runner.cpp:487-507)
+        recs = sample_records or [
+            encode_sequence(h, s) for f in args.files for h, s in iter_fasta(f)
+        ]
+        recs = sorted(recs, key=lambda r: r.total_size)
+        increment = max(1.0, len(recs) / args.sample)
+        idxs = []
+        i = 0.0
+        while round(i) < len(recs):
+            idxs.append(int(round(i)))
+            i += increment
+        tmpl_ps = build_point_set([recs[j] for j in idxs], k, datatype, keep_seqs=True)
+        from .train.predictor import train_predictor
+
+        model = train_predictor(
+            tmpl_ps,
+            k=k,
+            identity=similarity,
+            datatype=datatype,
+            feat_flags=FEAT_SETS[args.feat],
+            mut_type=MUT_TYPES[args.mut_type],
+            min_feat=4,
+            max_feat=5,
+            n_samples=10,
+            n_templates=args.sample,
+            mode=mode,
+        )
+        if args.dump:
+            save_weights(args.dump, model)
+            return 0
+        save_weights("weights.txt", model)
+
+    model_c = CompiledModel(model.classifier) if model.classifier else None
+    model_r = CompiledModel(model.regressor) if model.regressor else None
+
+    delim = "!" if args.noformat else "\t"
+    n_pos = 0
+    with open(f"{args.output}0", "w") as out:
+        for q_ps in load_chunks(args.query, k, datatype, args.chunk):
+            for db_ps in load_chunks(args.files, k, datatype, args.chunk):
+                n_pos += search(
+                    db_ps, q_ps, model_c, model_r,
+                    similarity if similarity > 0 else model.id_cutoff,
+                    out, delim, not args.noformat,
+                )
+    print(f"# of predicted positive: {n_pos}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -247,10 +247,20 @@ def train_predictor(
         if verbose:
             print(f"found: {int(P)}, {int(N)} -> {n_pos}, {n_neg}")
 
-    training = _gen_balanced(ps, f_tr, train_seeds, n_pos, n_neg, identity,
-                             min_id_pct, mut_type)
-    testing = _gen_balanced(ps, f_te, test_seeds, n_pos, n_neg, identity,
-                            min_id_pct, mut_type)
+    if mode & PRED_MODE_CLASS:
+        training = _gen_balanced(ps, f_tr, train_seeds, n_pos, n_neg, identity,
+                                 min_id_pct, mut_type)
+        testing = _gen_balanced(ps, f_te, test_seeds, n_pos, n_neg, identity,
+                                min_id_pct, mut_type)
+    else:
+        # regression-only data generation: 5 mutants per template over
+        # [min_id, 100] (Predictor.cpp:701-708)
+        training = []
+        for row, seed in zip(f_tr, train_seeds):
+            training += mutate_seqs(ps, row, 5, min_id_pct, 100, mut_type, seed)
+        testing = []
+        for row, seed in zip(f_te, test_seeds):
+            testing += mutate_seqs(ps, row, 5, min_id_pct, 100, mut_type, seed)
     if verbose:
         print(f"Training size: {len(training)}")
         print(f"Testing size: {len(testing)}")
