@@ -8,6 +8,7 @@ flags, CRunner.cpp:51-127 run / 555-597 do_run for orchestration):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from typing import List, Optional
@@ -146,13 +147,51 @@ def sort_points(ps: PointSet) -> PointSet:
 
 
 def make_scorer(ps: PointSet, model: CompiledModel, device: str):
-    if device == "host":
-        from .cluster.engine import HostScorer
+    """Scorer selection.
 
-        return HostScorer(ps, model)
+    host: native C++ exact scorer (fast sequential path), falling back to
+          the numpy float64 oracle.
+    tpu:  hybrid — native for small latency-sensitive batches, device
+          kernels (with exact rechecks) for large batches.
+    auto: tpu when a non-CPU device is available, else host.
+    """
+    from .cluster.engine import HostScorer
+    from .native import NativeScorer
+
+    native = NativeScorer.create(ps, model)
+    host = native or HostScorer(ps, model)
+    if device == "host":
+        return host
+    if device == "auto":
+        try:
+            import jax
+
+            device = "tpu" if jax.devices()[0].platform != "cpu" else "host"
+        except Exception:
+            device = "host"
+        if device == "host":
+            return host
     from .ops.device_features import DeviceScorer
 
-    return DeviceScorer(ps, model, exact_recheck=True)
+    dev = DeviceScorer(ps, model, exact_recheck=True)
+
+    class HybridScorer:
+        """Route small batches to the native scorer (dispatch-latency
+        bound), large batches to the device (bandwidth/FLOP bound)."""
+
+        def __init__(self, small, large, threshold=int(os.environ.get(
+                "MC2_DEVICE_THRESHOLD", "16384"))):
+            self.small = small
+            self.large = large
+            self.threshold = threshold
+
+        def score(self, a_rows, b_rows):
+            n = max(np.size(a_rows), np.size(b_rows))
+            if n < self.threshold:
+                return self.small.score(a_rows, b_rows)
+            return self.large.score(a_rows, b_rows)
+
+    return HybridScorer(host, dev)
 
 
 def main(argv: Optional[List[str]] = None) -> int:

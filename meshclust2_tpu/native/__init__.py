@@ -16,40 +16,62 @@ from typing import List, Optional
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "sortperm.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "sortperm.cpp"),
+    os.path.join(os.path.dirname(__file__), "score.cpp"),
+]
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
 
 def _build_lib() -> Optional[ctypes.CDLL]:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     cache = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "meshclust2_tpu",
     )
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, f"sortperm_{digest}.so")
+    so = os.path.join(cache, f"native_{digest}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
         try:
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+                 "-std=c++17", *_SRCS, "-o", tmp],
                 check=True,
                 capture_output=True,
             )
             os.replace(tmp, so)
         except Exception as e:
-            print(f"meshclust2_tpu: native sort build failed ({e}); "
-                  "falling back to stable numpy sorts", file=sys.stderr)
+            print(f"meshclust2_tpu: native build failed ({e}); "
+                  "falling back to numpy paths", file=sys.stderr)
             return None
     lib = ctypes.CDLL(so)
-    i64p = ctypes.POINTER(ctypes.c_int64)
+    i64p = _i64p
     lib.sort_perm_u64.argtypes = [ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, i64p]
-    lib.sort_perm_f64.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64, i64p]
-    lib.sort_perm_bytes.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), i64p, ctypes.c_int64, i64p,
+    lib.sort_perm_f64.argtypes = [_f64p, ctypes.c_int64, i64p]
+    lib.sort_perm_bytes.argtypes = [_u8p, i64p, ctypes.c_int64, i64p]
+    lib.supports_features.argtypes = [_i32p, ctypes.c_int32]
+    lib.supports_features.restype = ctypes.c_int
+    lib.score_block.argtypes = [
+        _u32p, i64p, i64p, _f64p, ctypes.c_int64,       # points view
+        i64p, i64p, ctypes.c_int64,                      # pairs
+        _i32p, _f64p, _f64p, _u8p, ctypes.c_int32,       # singles
+        _i32p, _i32p, _i32p, ctypes.c_int32,             # combos
+        _f64p, ctypes.c_double,                          # weights, bias
+        _f64p, _f64p,                                    # outputs
     ]
+    lib.score_block.restype = ctypes.c_int
     return lib
 
 
@@ -109,3 +131,91 @@ def sort_perm_strings(strings: List[str]) -> np.ndarray:
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return perm
+
+
+class NativeScorer:
+    """Exact float64 classifier scoring through the native score_block —
+    the latency-optimized path for the sequential accumulate phase.
+
+    Falls back to None from `create` when the model uses a feature with no
+    native implementation or the library is unavailable.
+    """
+
+    def __init__(self, ps, model, lib):
+        from ..features.flags import feat_log2
+
+        self.ps = ps
+        self.model = model
+        self._lib = lib
+        self._counts = np.ascontiguousarray(ps.counts, dtype=np.uint32)
+        self._mags = np.ascontiguousarray(ps.mags, dtype=np.int64)
+        self._lengths = np.ascontiguousarray(ps.lengths, dtype=np.int64)
+        self._stddevs = np.ascontiguousarray(ps.stddevs, dtype=np.float64)
+        self._single_ids = np.array(
+            [feat_log2(s) for s in model.singles], dtype=np.int32
+        )
+        self._mins = np.ascontiguousarray(model.mins, dtype=np.float64)
+        self._maxs = np.ascontiguousarray(model.maxs, dtype=np.float64)
+        self._is_sim = np.ascontiguousarray(model.is_sim, dtype=np.uint8)
+        kinds = {"xy": 0, "xy2": 1, "x2y": 2, "x2y2": 3}
+        ck, c0, c1 = [], [], []
+        for kind, idxs in model.combos:
+            ck.append(kinds[kind])
+            c0.append(idxs[0])
+            c1.append(idxs[1] if len(idxs) > 1 else -1)
+        self._ck = np.array(ck, dtype=np.int32)
+        self._c0 = np.array(c0, dtype=np.int32)
+        self._c1 = np.array(c1, dtype=np.int32)
+        self._weights = np.ascontiguousarray(model.weights, dtype=np.float64)
+        self._bias = float(model.bias)
+
+    @classmethod
+    def create(cls, ps, model):
+        from ..features.flags import feat_log2
+
+        lib = _get_lib()
+        if lib is None:
+            return None
+        ids = np.array([feat_log2(s) for s in model.singles], dtype=np.int32)
+        if lib.supports_features(ids.ctypes.data_as(_i32p), len(ids)) != 0:
+            return None
+        return cls(ps, model, lib)
+
+    def score(self, a_rows, b_rows):
+        a_rows = np.atleast_1d(np.asarray(a_rows, dtype=np.int64))
+        b_rows = np.atleast_1d(np.asarray(b_rows, dtype=np.int64))
+        if len(b_rows) == 1 and len(a_rows) > 1:
+            b_rows = np.broadcast_to(b_rows, a_rows.shape)
+        if len(a_rows) == 1 and len(b_rows) > 1:
+            a_rows = np.broadcast_to(a_rows, b_rows.shape)
+        a_rows = np.ascontiguousarray(a_rows, dtype=np.int64)
+        b_rows = np.ascontiguousarray(b_rows, dtype=np.int64)
+        n = len(a_rows)
+        prob = np.empty(n, dtype=np.float64)
+        dist = np.empty(n, dtype=np.float64)
+        rc = self._lib.score_block(
+            self._counts.ctypes.data_as(_u32p),
+            self._mags.ctypes.data_as(_i64p),
+            self._lengths.ctypes.data_as(_i64p),
+            self._stddevs.ctypes.data_as(_f64p),
+            self._counts.shape[1],
+            a_rows.ctypes.data_as(_i64p),
+            b_rows.ctypes.data_as(_i64p),
+            n,
+            self._single_ids.ctypes.data_as(_i32p),
+            self._mins.ctypes.data_as(_f64p),
+            self._maxs.ctypes.data_as(_f64p),
+            self._is_sim.ctypes.data_as(_u8p),
+            len(self._single_ids),
+            self._ck.ctypes.data_as(_i32p),
+            self._c0.ctypes.data_as(_i32p),
+            self._c1.ctypes.data_as(_i32p),
+            len(self._ck),
+            self._weights.ctypes.data_as(_f64p),
+            self._bias,
+            prob.ctypes.data_as(_f64p),
+            dist.ctypes.data_as(_f64p),
+        )
+        if rc != 0:
+            raise RuntimeError("native score_block failed")
+        return prob, dist
