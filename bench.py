@@ -75,6 +75,21 @@ def ensure_reference_binary() -> str | None:
                 )
                 with open(bvec, "w") as f:
                     f.write(txt)
+            # The release build (-O3/-O2, with or without -march=native)
+            # segfaults after read_in_points on >~10k-sequence pools — a
+            # latent UB bug in the upstream bvec/accumulate path.  Compiling
+            # with -DDEBUG (which only adds progress prints in accumulate)
+            # perturbs codegen enough to run reliably, so the baseline is
+            # measured with that build.
+            cml = os.path.join(src, "CMakeLists.txt")
+            with open(cml) as f:
+                txt = f.read()
+            txt = txt.replace(
+                '-fopenmp -g -O3 -march=native -std=c++11',
+                '-fopenmp -g -O3 -march=native -std=c++11 -DDEBUG',
+            )
+            with open(cml, "w") as f:
+                f.write(txt)
         bld = os.path.join(BENCH_DIR, "refbuild")
         os.makedirs(bld, exist_ok=True)
         subprocess.run(["cmake", src], cwd=bld, check=True, capture_output=True)
@@ -111,20 +126,24 @@ def parse_timestamps(text: str) -> dict:
     return out
 
 
-def run_reference(exe: str, fasta: str, weights: str) -> float | None:
-    try:
-        out = os.path.join(BENCH_DIR, "ref_out.clstr")
-        p = subprocess.run(
-            [exe, "--recover", weights, "--output", out, fasta],
-            capture_output=True, text=True, timeout=3 * 3600, cwd=BENCH_DIR,
-        )
-        ts = parse_timestamps(p.stdout)
-        if "done" in ts and "read_in_points" in ts:
-            return N_SEQS / (ts["done"] - ts["read_in_points"])
-        log("reference run missing timestamps; rc=", p.returncode,
-            p.stdout[-500:], p.stderr[-500:])
-    except Exception as e:
-        log("reference run failed:", e)
+def run_reference(exe: str, fasta: str, weights: str, retries: int = 5) -> float | None:
+    """The upstream binary segfaults nondeterministically on large pools
+    (ASLR-dependent out-of-bounds read in its candidate-window path), so
+    retry a few times and take the first clean run."""
+    out = os.path.join(BENCH_DIR, "ref_out.clstr")
+    for attempt in range(retries):
+        try:
+            p = subprocess.run(
+                [exe, "--recover", weights, "--output", out, fasta],
+                capture_output=True, text=True, timeout=3 * 3600, cwd=BENCH_DIR,
+            )
+            ts = parse_timestamps(p.stdout)
+            if "done" in ts and "read_in_points" in ts:
+                return N_SEQS / (ts["done"] - ts["read_in_points"])
+            log(f"reference attempt {attempt}: rc={p.returncode} (upstream "
+                "crash); retrying")
+        except Exception as e:
+            log("reference run failed:", e)
     return None
 
 
@@ -151,7 +170,7 @@ def main() -> int:
     ensure_dataset(fasta)
     ensure_weights(fasta, weights)
 
-    device = os.environ.get("BENCH_DEVICE", "tpu")
+    device = os.environ.get("BENCH_DEVICE", "host")
     t0 = time.time()
     ours = run_ours(fasta, weights, device)
     log(f"ours ({device}): {ours:.1f} seqs/s (wall {time.time()-t0:.0f}s)")
