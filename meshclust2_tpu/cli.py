@@ -106,6 +106,7 @@ def load_sorted_points(
     datatype: str,
     single_file: bool,
     keep_seqs_train: bool = True,
+    records_cache: Optional[dict] = None,
 ) -> tuple:
     """get_points for train + notrain files with the reference's sort-by-
     header-then-length (CRunner.cpp:504-544) and id assignment in final
@@ -115,7 +116,10 @@ def load_sorted_points(
     def load(files, keep):
         sets = []
         for fpath in files:
-            recs = read_fasta(fpath, single_file)
+            if records_cache is not None and fpath in records_cache:
+                recs = records_cache[fpath]
+            else:
+                recs = read_fasta(fpath, single_file)
             if recs:
                 sets.append(build_point_set(recs, k, datatype, keep_seqs=keep))
         return sets
@@ -224,7 +228,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         datatype = recovered.datatype
 
     all_files = train_files + notrain_files
-    per_file_records = [read_fasta(f, args.single_file) for f in all_files]
+    records_cache = {f: read_fasta(f, args.single_file) for f in all_files}
+    per_file_records = [records_cache[f] for f in all_files]
 
     if k == -1:
         k = find_k(per_file_records, len(train_files))
@@ -239,8 +244,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"Using {datatype} histograms")
 
     train_ps, all_ps = load_sorted_points(
-        train_files, notrain_files, k, datatype, args.single_file
+        train_files, notrain_files, k, datatype, args.single_file,
+        records_cache=records_cache,
     )
+    records_cache.clear()
     clock.stamp("read_in_points")
 
     if recovered is not None:

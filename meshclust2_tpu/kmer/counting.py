@@ -139,14 +139,21 @@ def build_point_set(
     n = len(records)
     d = 4**k
     dtype_max = DTYPE_MAX[datatype]
-    counts = np.zeros((n, d), dtype=np.uint32)
-    one_mers = np.zeros((n, 4), dtype=np.uint64)
     lengths = np.zeros(n, dtype=np.int64)
     seqs: Optional[List[Optional[np.ndarray]]] = [] if keep_seqs else None
     headers = []
+    from ..native import count_kmers_batch
+
+    native = count_kmers_batch(records, k, dtype_max) if n else None
+    if native is not None:
+        counts, one_mers = native
+    else:
+        counts = np.zeros((n, d), dtype=np.uint32)
+        one_mers = np.zeros((n, 4), dtype=np.uint64)
     for i, rec in enumerate(records):
-        counts[i] = count_histogram(rec, k, dtype_max)
-        one_mers[i] = count_1mers(rec)
+        if native is None:
+            counts[i] = count_histogram(rec, k, dtype_max)
+            one_mers[i] = count_1mers(rec)
         lengths[i] = rec.effective_size
         headers.append(rec.header)
         if keep_seqs:
@@ -229,6 +236,12 @@ def concat_point_sets(sets: Sequence[PointSet]) -> PointSet:
 def largest_pseudocount(records: Sequence[SequenceRecord], k: int) -> int:
     """Datatype-scan pass: max over sequences of max histogram value with
     uint64 pseudocounts (CRunner.cpp:57-94)."""
+    if records:
+        from ..native import largest_pseudocount_batch
+
+        best = largest_pseudocount_batch(records, k)
+        if best is not None:
+            return best
     best = 0
     for rec in records:
         h = count_histogram(rec, k, None)

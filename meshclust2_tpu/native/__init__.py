@@ -19,6 +19,7 @@ import numpy as np
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "sortperm.cpp"),
     os.path.join(os.path.dirname(__file__), "score.cpp"),
+    os.path.join(os.path.dirname(__file__), "count.cpp"),
 ]
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
@@ -72,6 +73,15 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         _f64p, _f64p,                                    # outputs
     ]
     lib.score_block.restype = ctypes.c_int
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.count_kmers_batch.argtypes = [
+        _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_uint64, _u32p, ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.largest_pseudocount_batch.argtypes = [
+        _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
+    ]
+    lib.largest_pseudocount_batch.restype = ctypes.c_uint64
     return lib
 
 
@@ -131,6 +141,73 @@ def sort_perm_strings(strings: List[str]) -> np.ndarray:
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return perm
+
+
+def _pack_records(records):
+    offsets = np.zeros(len(records) + 1, dtype=np.int64)
+    seg_offsets = np.zeros(len(records) + 1, dtype=np.int64)
+    for i, r in enumerate(records):
+        offsets[i + 1] = offsets[i] + len(r.codes)
+        seg_offsets[i + 1] = seg_offsets[i] + len(r.segments)
+    codes = (
+        np.concatenate([r.codes for r in records])
+        if records
+        else np.zeros(0, np.int8)
+    ).astype(np.int8)
+    segs = (
+        np.concatenate([r.segments.reshape(-1) for r in records])
+        if records
+        else np.zeros(0, np.int64)
+    ).astype(np.int64)
+    if len(codes) == 0:
+        codes = np.zeros(1, np.int8)
+    if len(segs) == 0:
+        segs = np.zeros(2, np.int64)
+    return (
+        np.ascontiguousarray(codes),
+        np.ascontiguousarray(offsets),
+        np.ascontiguousarray(segs),
+        np.ascontiguousarray(seg_offsets),
+    )
+
+
+def count_kmers_batch(records, k: int, dtype_max: int):
+    """Native batched histogram build; returns (counts u32 [n, 4^k],
+    one_mers u64 [n, 4]) or None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    n = len(records)
+    d = 4**k
+    codes, offsets, segs, seg_offsets = _pack_records(records)
+    counts = np.empty((n, d), dtype=np.uint32)
+    ones = np.empty((n, 4), dtype=np.uint64)
+    lib.count_kmers_batch(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        offsets.ctypes.data_as(_i64p),
+        segs.ctypes.data_as(_i64p),
+        seg_offsets.ctypes.data_as(_i64p),
+        n, k, min(dtype_max, 2**64 - 1),
+        counts.ctypes.data_as(_u32p),
+        ones.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return counts, ones
+
+
+def largest_pseudocount_batch(records, k: int):
+    lib = _get_lib()
+    if lib is None:
+        return None
+    codes, offsets, segs, seg_offsets = _pack_records(records)
+    return int(
+        lib.largest_pseudocount_batch(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            offsets.ctypes.data_as(_i64p),
+            segs.ctypes.data_as(_i64p),
+            seg_offsets.ctypes.data_as(_i64p),
+            len(records), k,
+        )
+    )
 
 
 class NativeScorer:
