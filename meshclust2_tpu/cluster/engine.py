@@ -167,7 +167,15 @@ class MeanShiftEngine:
     def _get_mean(self, current: List[int]) -> int:
         """Member closest to the arithmetic mean (ClusterFactory.cpp:337-380),
         first strict minimum wins."""
-        rows = np.asarray(current)
+        rows = np.asarray(current, dtype=np.int64)
+        from ..native import mean_shift_argmin_batch
+
+        res = mean_shift_argmin_batch(
+            self.ps.counts, self.ps.mags, rows,
+            np.array([0, len(rows)], dtype=np.int64),
+        )
+        if res is not None:
+            return int(res[0])
         top = self._counts_f[rows].mean(axis=0)
         d = distance_d(self.ps.counts[rows], self.ps.mags[rows].astype(np.float64), top)
         return int(rows[int(np.argmin(d))])
@@ -268,15 +276,32 @@ class MeanShiftEngine:
             keep = c_round(prob) != 0
         else:
             keep = np.zeros(0, bool)
+        # per-center closest-to-mean over the kept members (batched native
+        # path; numpy fallback)
+        kept_rows_per_j = [b_arr[(seg == j) & keep] for j in range(C)]
+        from ..native import mean_shift_argmin_batch
+
+        offsets = np.zeros(C + 1, dtype=np.int64)
+        for j in range(C):
+            offsets[j + 1] = offsets[j] + len(kept_rows_per_j[j])
+        flat = (
+            np.concatenate(kept_rows_per_j)
+            if offsets[-1] > 0
+            else np.zeros(0, np.int64)
+        )
+        native = mean_shift_argmin_batch(self.ps.counts, self.ps.mags, flat, offsets)
         new_centers = []
         for j in range(C):
-            good = b_arr[(seg == j) & keep]
+            good = kept_rows_per_j[j]
             if len(good) > 0:
-                top = self._counts_f[good].mean(axis=0)
-                d = distance_d(
-                    self.ps.counts[good], self.ps.mags[good].astype(np.float64), top
-                )
-                new_centers.append(int(good[int(np.argmin(d))]))
+                if native is not None:
+                    new_centers.append(int(native[j]))
+                else:
+                    top = self._counts_f[good].mean(axis=0)
+                    d = distance_d(
+                        self.ps.counts[good], self.ps.mags[good].astype(np.float64), top
+                    )
+                    new_centers.append(int(good[int(np.argmin(d))]))
             elif delta == 0:
                 new_centers.append(int(clusters[j].members[0]))
             else:

@@ -49,6 +49,15 @@ class SequenceRecord:
     segments: np.ndarray              # int64 [S, 2] inclusive (start, end)
     effective_size: int
     total_size: int
+    # The reference's ChromListMaker::makeChromList (used by meshclust2's
+    # find_k, CRunner.cpp:479-502, and Red's default k / GC scans,
+    # RepeatsDetector.cpp:350-477) preallocates `size` spaces and then
+    # APPENDS the sequence (Chromosome(uint64_t) ctor + appendToSequence,
+    # Chromosome.cpp:18-25,88-97), doubling the buffer; spaces count as
+    # valid bases, so its effective size is ~total+effective and its GC%
+    # is halved.  These fields reproduce that observable behavior.
+    ref_list_effective_size: int = 0
+    gc_count: int = 0
 
     def segment_lengths(self) -> np.ndarray:
         if len(self.segments) == 0:

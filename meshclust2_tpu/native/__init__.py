@@ -20,6 +20,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "sortperm.cpp"),
     os.path.join(os.path.dirname(__file__), "score.cpp"),
     os.path.join(os.path.dirname(__file__), "count.cpp"),
+    os.path.join(os.path.dirname(__file__), "viterbi.cpp"),
 ]
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
@@ -65,7 +66,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.supports_features.argtypes = [_i32p, ctypes.c_int32]
     lib.supports_features.restype = ctypes.c_int
     lib.score_block.argtypes = [
-        _u32p, i64p, i64p, _f64p, ctypes.c_int64,       # points view
+        ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, _f64p,
+        ctypes.c_int64,                                  # points view
         i64p, i64p, ctypes.c_int64,                      # pairs
         _i32p, _f64p, _f64p, _u8p, ctypes.c_int32,       # singles
         _i32p, _i32p, _i32p, ctypes.c_int32,             # combos
@@ -73,6 +75,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         _f64p, _f64p,                                    # outputs
     ]
     lib.score_block.restype = ctypes.c_int
+    lib.mean_shift_argmin.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i64p, ctypes.c_int64,
+        i64p, i64p, ctypes.c_int64, i64p,
+    ]
+    lib.mean_shift_argmin.restype = ctypes.c_int
     _i8p = ctypes.POINTER(ctypes.c_int8)
     lib.count_kmers_batch.argtypes = [
         _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
@@ -82,6 +89,10 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
     ]
     lib.largest_pseudocount_batch.restype = ctypes.c_uint64
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.viterbi_two_track.argtypes = [
+        _i64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_int64, _i8p, _i8p,
+    ]
     return lib
 
 
@@ -210,6 +221,59 @@ def largest_pseudocount_batch(records, k: int):
     )
 
 
+def mean_shift_argmin_batch(counts: np.ndarray, mags: np.ndarray,
+                            member_rows: np.ndarray, seg_offsets: np.ndarray):
+    """Per-segment closest-to-mean member rows (exact distance_d semantics);
+    returns int64 [n_segs] with -1 for empty segments, or None when the
+    native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts)
+    if counts.dtype not in (np.uint8, np.uint16, np.uint32):
+        counts = counts.astype(np.uint32)
+    mags = np.ascontiguousarray(mags, dtype=np.int64)
+    member_rows = np.ascontiguousarray(member_rows, dtype=np.int64)
+    seg_offsets = np.ascontiguousarray(seg_offsets, dtype=np.int64)
+    n_segs = len(seg_offsets) - 1
+    out = np.empty(n_segs, dtype=np.int64)
+    lib.mean_shift_argmin(
+        counts.ctypes.data_as(ctypes.c_void_p),
+        counts.itemsize,
+        mags.ctypes.data_as(_i64p),
+        counts.shape[1],
+        member_rows.ctypes.data_as(_i64p),
+        seg_offsets.ctypes.data_as(_i64p),
+        n_segs,
+        out.ctypes.data_as(_i64p),
+    )
+    return out
+
+
+def viterbi_two_track(seg: np.ndarray, p_log: np.ndarray, t_log: np.ndarray,
+                      P: int):
+    """Native two-track Viterbi; returns int8 states [n] (0=positive track)
+    or None when the library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    seg = np.ascontiguousarray(seg, dtype=np.int64)
+    p_log = np.ascontiguousarray(p_log, dtype=np.float64)
+    t_log = np.ascontiguousarray(t_log, dtype=np.float64)
+    n = len(seg)
+    back = np.zeros((n, 2), dtype=np.int8)
+    states = np.zeros(n, dtype=np.int8)
+    lib.viterbi_two_track(
+        seg.ctypes.data_as(_i64p), n,
+        p_log.ctypes.data_as(_f64p),
+        t_log.ctypes.data_as(_f64p),
+        P,
+        back.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return states
+
+
 class NativeScorer:
     """Exact float64 classifier scoring through the native score_block —
     the latency-optimized path for the sequential accumulate phase.
@@ -224,7 +288,19 @@ class NativeScorer:
         self.ps = ps
         self.model = model
         self._lib = lib
-        self._counts = np.ascontiguousarray(ps.counts, dtype=np.uint32)
+        # store counts at the narrowest width that holds them: uint8
+        # histograms stream 4x less memory through the fused kernel
+        cmax = int(ps.counts.max()) if ps.counts.size else 0
+        if cmax <= 0xFF:
+            self._counts = np.ascontiguousarray(ps.counts, dtype=np.uint8)
+        elif cmax <= 0xFFFF:
+            self._counts = np.ascontiguousarray(ps.counts, dtype=np.uint16)
+        else:
+            self._counts = np.ascontiguousarray(ps.counts, dtype=np.uint32)
+        self._elem_width = self._counts.itemsize
+        self._self_dots = np.ascontiguousarray(
+            (ps.counts.astype(np.float64) ** 2).sum(axis=1)
+        )
         self._mags = np.ascontiguousarray(ps.mags, dtype=np.int64)
         self._lengths = np.ascontiguousarray(ps.lengths, dtype=np.int64)
         self._stddevs = np.ascontiguousarray(ps.stddevs, dtype=np.float64)
@@ -271,10 +347,12 @@ class NativeScorer:
         prob = np.empty(n, dtype=np.float64)
         dist = np.empty(n, dtype=np.float64)
         rc = self._lib.score_block(
-            self._counts.ctypes.data_as(_u32p),
+            self._counts.ctypes.data_as(ctypes.c_void_p),
+            self._elem_width,
             self._mags.ctypes.data_as(_i64p),
             self._lengths.ctypes.data_as(_i64p),
             self._stddevs.ctypes.data_as(_f64p),
+            self._self_dots.ctypes.data_as(_f64p),
             self._counts.shape[1],
             a_rows.ctypes.data_as(_i64p),
             b_rows.ctypes.data_as(_i64p),
