@@ -277,8 +277,13 @@ class MeanShiftEngine:
         else:
             keep = np.zeros(0, bool)
         # per-center closest-to-mean over the kept members (batched native
-        # path; numpy fallback)
-        kept_rows_per_j = [b_arr[(seg == j) & keep] for j in range(C)]
+        # path; numpy fallback).  seg is nondecreasing by construction, so
+        # per-center slices come from boundaries, not full-array masks.
+        bounds = np.searchsorted(seg, np.arange(C + 1))
+        kept_rows_per_j = [
+            b_arr[bounds[j]:bounds[j + 1]][keep[bounds[j]:bounds[j + 1]]]
+            for j in range(C)
+        ]
         from ..native import mean_shift_argmin_batch
 
         offsets = np.zeros(C + 1, dtype=np.int64)
@@ -341,12 +346,16 @@ class MeanShiftEngine:
                 prob, dist = self.scorer.score(a_arr, cen_rows[seg])
                 self.stats.pairs_scored += len(a_arr)
                 res1 = c_round(prob) == 1
+                bounds = np.searchsorted(seg, np.arange(C + 1))
                 for i in range(C):
-                    m = (seg == i) & res1
+                    lo, hi = bounds[i], bounds[i + 1]
+                    if lo == hi:
+                        continue
+                    m = res1[lo:hi]
                     if not m.any():
                         continue
-                    d = dist[m]
-                    cj = jj[m]
+                    d = dist[lo:hi][m]
+                    cj = jj[lo:hi][m]
                     # ties: later candidate wins (best.second > dist keeps
                     # best only when strictly greater, Trainer.cpp:104)
                     best_k = len(d) - 1 - int(np.argmax(d[::-1]))
