@@ -160,12 +160,24 @@ def encode_sequence(header: str, seq: str, can_merge: bool = True) -> SequenceRe
         out_codes[is_n] = -1
     seg_arr = np.asarray(segs, dtype=np.int64).reshape(-1, 2)
     eff = int((seg_arr[:, 1] - seg_arr[:, 0] + 1).sum()) if len(seg_arr) else 0
+    # makeChromList-style effective size: the reference preallocates len(arr)
+    # spaces and appends the letters, so its buffer is [spaces + letters]
+    # with spaces counting as valid bases; segment over that doubled buffer.
+    is_n_doubled = np.concatenate([np.zeros(len(arr), dtype=bool), is_n])
+    dsegs = _find_raw_segments(is_n_doubled)
+    if can_merge and 2 * len(arr) > 20:
+        dsegs = _merge_segments(dsegs)
+    dsegs = _split_segments(dsegs)
+    ref_eff = sum(e - s + 1 for s, e in dsegs)
+    gc_count = int(((arr == ord("C")) | (arr == ord("G"))).sum())
     return SequenceRecord(
         header=header,
         codes=out_codes,
         segments=seg_arr,
         effective_size=eff,
         total_size=len(arr),
+        ref_list_effective_size=ref_eff,
+        gc_count=gc_count,
     )
 
 

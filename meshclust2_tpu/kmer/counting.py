@@ -254,13 +254,15 @@ def find_k(per_file_records: Sequence[Sequence[SequenceRecord]], n_train_files: 
     """Auto k selection (CRunner.cpp:479-502): per file, the *integer* mean of
     effective sizes; integer-mean those over files; k = ceil(log4 L) - 1.
 
-    Note the reference divides the total by the number of *train* files while
-    summing over all files — preserved."""
+    Two reference quirks preserved: the total divides by the number of
+    *train* files while summing over all files, and the effective sizes come
+    from makeChromList, whose space-preallocation bug roughly doubles them
+    (see SequenceRecord.ref_list_effective_size)."""
     total = 0
     for recs in per_file_records:
         if len(recs) == 0:
             continue
-        l = sum(r.effective_size for r in recs) // len(recs)
+        l = sum(r.ref_list_effective_size for r in recs) // len(recs)
         total += l
     length = total // max(1, n_train_files)
     import math

@@ -186,7 +186,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if "-len" in param:
         k = int(param["-len"])
     else:
-        genome_length = sum(r.effective_size for r in all_records)
+        # makeChromList effective sizes (space-doubled, see
+        # SequenceRecord.ref_list_effective_size) — RepeatsDetector.cpp:350-394
+        genome_length = sum(r.ref_list_effective_size for r in all_records)
         k = int(math.floor(math.log(genome_length) / math.log(4.0)))
         k = min(k, 15)
         k = max(k, 12)
@@ -200,14 +202,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if "-gau" in param:
         s_width = int(param["-gau"])
     else:
-        gc = sum(
-            int(((r.codes == 1) | (r.codes == 2)).sum()) for r in all_records
-        )
-        # reference computes GC over raw letters C/G vs effective size
-        eff = sum(r.effective_size for r in all_records)
+        # literal C/G letters over the makeChromList effective size (whose
+        # space-preallocation bug halves the percentage — most genomes land
+        # below 33% and get the wide mask, RepeatsDetector.cpp:446-477)
+        gc = sum(r.gc_count for r in all_records)
+        eff = sum(r.ref_list_effective_size for r in all_records)
         gc_pct = 100.0 * gc / max(1, eff)
         s_width = 20 if 33 <= gc_pct <= 67 else 40
-        print(f"Using the default half width: {s_width} (GC {gc_pct:.1f}%)")
+        print(f"Using the default half width: {s_width} based on the GC content of {gc_pct:g}")
 
     # Stage 1: table
     print("Stage 1: Building the table ...")
