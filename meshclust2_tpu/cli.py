@@ -167,14 +167,10 @@ def make_scorer(ps: PointSet, model: CompiledModel, device: str):
     if device == "host":
         return host
     if device == "auto":
-        try:
-            import jax
-
-            device = "tpu" if jax.devices()[0].platform != "cpu" else "host"
-        except Exception:
-            device = "host"
-        if device == "host":
-            return host
+        # The sequential accumulate loop is dispatch-latency bound; a
+        # network-tunneled TPU stalls it, so auto prefers the native host
+        # scorer and device offload stays opt-in (--device tpu).
+        return host
     from .ops.device_features import DeviceScorer
 
     dev = DeviceScorer(ps, model, exact_recheck=True)

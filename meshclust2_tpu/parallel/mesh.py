@@ -117,10 +117,11 @@ def sharded_mean_update(mesh, axis: str = "data"):
         counts = jax.lax.psum(mask_local.sum(axis=1), axis)      # [C]
         top = sums / jnp.maximum(counts, 1.0)[:, None]
         # distance_d of each local member to its center's mean
-        # (DivergencePoint.cpp:54-66)
+        # (DivergencePoint.cpp:54-66, with the reference's truncating uint64
+        # mag accumulation)
         r = jnp.floor(top + 0.5)                                  # [C, D]
         dist = 2.0 * jnp.minimum(H_local[None, :, :], r[:, None, :]).sum(-1)
-        mag = mags_local[None, :] + top.sum(axis=1)[:, None]
+        mag = jnp.trunc(H_local[None, :, :] + top[:, None, :]).sum(-1)
         frac = dist / mag
         d = 10000.0 * (1.0 - frac * frac)                         # [C, n_loc]
         d = jnp.where(mask_local > 0, d, jnp.inf)

@@ -1,0 +1,99 @@
+"""Sharded compute tests on the 8-device virtual CPU mesh: results must be
+invariant to the mesh (SURVEY §4.4)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from meshclust2_tpu.parallel import mesh as M
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    return M.make_mesh(8)
+
+
+def _shard(mesh, arr, spec):
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def test_sharded_histogram_matches_host(mesh8):
+    from meshclust2_tpu.io.fasta import SequenceRecord
+    from meshclust2_tpu.kmer.counting import count_histogram
+
+    k = 3
+    rng = np.random.default_rng(0)
+    n, L = 16, 64
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.int32)
+    codes[:, -3:] = -1
+    fn = M.sharded_histogram_build(mesh8, k)
+    got = np.asarray(fn(_shard(mesh8, codes, P("data"))))
+    for i in range(n):
+        arr = codes[i]
+        segs = np.array([[0, int((arr >= 0).sum()) - 1]])
+        rec = SequenceRecord(">x", arr.astype(np.int8), segs, L - 3, L)
+        want = count_histogram(rec, k, None)
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_sharded_glm_matches_numpy(mesh8):
+    from meshclust2_tpu import glm as G
+
+    rng = np.random.default_rng(1)
+    X = np.concatenate(
+        [np.ones((64, 1), np.float32), rng.standard_normal((64, 3)).astype(np.float32)],
+        axis=1,
+    )
+    y = (X @ np.array([1.0, -0.5, 2.0, 0.1], np.float32)
+         + 0.01 * rng.standard_normal(64).astype(np.float32))
+    fn = M.sharded_glm_solve(mesh8)
+    w = np.asarray(fn(_shard(mesh8, X, P("data")), _shard(mesh8, y, P("data"))))
+    want = G.train_glm(X.astype(np.float64), y.astype(np.float64))
+    np.testing.assert_allclose(w, want, atol=1e-3)
+
+
+def test_sharded_mean_update_matches_host(mesh8):
+    from meshclust2_tpu.cluster.engine import distance_d
+
+    rng = np.random.default_rng(2)
+    n, d, C = 32, 64, 3
+    H = rng.integers(1, 20, size=(n, d)).astype(np.float32)
+    mags = H.sum(axis=1)
+    mask = (rng.random((C, n)) < 0.4).astype(np.float32)
+    mask[:, 0] = 1.0
+    rows = np.arange(n, dtype=np.int32)
+    fn = M.sharded_mean_update(mesh8)
+    gmin, garg = fn(
+        _shard(mesh8, H, P("data")),
+        _shard(mesh8, mags, P("data")),
+        _shard(mesh8, mask, P(None, "data")),
+        _shard(mesh8, rows, P("data")),
+    )
+    gmin, garg = np.asarray(gmin), np.asarray(garg)
+    for c in range(C):
+        members = np.nonzero(mask[c] > 0)[0]
+        top = H[members].mean(axis=0).astype(np.float64)
+        dvals = distance_d(H[members].astype(np.uint32), mags[members].astype(np.float64), top)
+        want_min = dvals.min()
+        np.testing.assert_allclose(gmin[c], want_min, rtol=1e-5)
+
+
+def test_mesh_shape_invariance():
+    """Same sharded GLM solve on 2, 4, 8 devices gives the same weights."""
+    rng = np.random.default_rng(3)
+    X = np.concatenate(
+        [np.ones((64, 1), np.float32), rng.standard_normal((64, 2)).astype(np.float32)],
+        axis=1,
+    )
+    y = (X @ np.array([0.3, 1.2, -0.7], np.float32)).astype(np.float32)
+    results = []
+    for nd in (2, 4, 8):
+        mesh = M.make_mesh(nd)
+        fn = M.sharded_glm_solve(mesh)
+        w = np.asarray(fn(_shard(mesh, X, P("data")), _shard(mesh, y, P("data"))))
+        results.append(w)
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+    np.testing.assert_allclose(results[0], results[2], rtol=1e-5)
