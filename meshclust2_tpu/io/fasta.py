@@ -215,8 +215,36 @@ def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:
     if single_file:
         header = records[0][0]
         joined = ("N" * 50).join(seq for _, seq in records)
-        return [encode_sequence(header, joined)]
-    return [encode_sequence(h, s) for h, s in records]
+        records = [(header, joined)]
+    return encode_records(records)
+
+
+def encode_records(records) -> List[SequenceRecord]:
+    """Batch-encode (header, sequence) pairs, using the native encoder when
+    available (exact same segmentation semantics as encode_sequence)."""
+    from ..native import encode_batch
+
+    raw = [s.encode("ascii", "replace") for _, s in records]
+    batch = encode_batch(raw)
+    if batch is None:
+        return [encode_sequence(h, s) for h, s in records]
+    codes, offsets, segs, seg_offsets, meta = batch
+    out = []
+    for i, (h, _) in enumerate(records):
+        rec_codes = codes[offsets[i] : offsets[i + 1]]
+        rec_segs = segs[2 * seg_offsets[i] : 2 * seg_offsets[i + 1]].reshape(-1, 2)
+        out.append(
+            SequenceRecord(
+                header=h,
+                codes=rec_codes,
+                segments=rec_segs,
+                effective_size=int(meta[i, 1]),
+                total_size=int(offsets[i + 1] - offsets[i]),
+                ref_list_effective_size=int(meta[i, 2]),
+                gc_count=int(meta[i, 3]),
+            )
+        )
+    return out
 
 
 def acgt_only(seq: str) -> str:

@@ -159,10 +159,12 @@ def build_point_set(
         if keep_seqs:
             seqs.append(rec.codes)
     mags = counts.sum(axis=1, dtype=np.int64)
-    # stddev of the pseudocounted histogram (population), Loader.cpp:162-171.
+    # stddev of the pseudocounted histogram (population), Loader.cpp:162-171,
+    # via the exact integer identity sum((c-m)^2) = sum(c^2) - mag^2/d
+    # (both terms exact in float64 for realistic counts).
+    sq = np.einsum("ij,ij->i", counts, counts, dtype=np.float64)
     means = mags / d
-    diffs = counts.astype(np.float64) - means[:, None]
-    stddevs = np.sqrt((diffs * diffs).sum(axis=1) / d)
+    stddevs = np.sqrt(np.maximum(sq / d - means * means, 0.0))
     ids = np.arange(start_id, start_id + n, dtype=np.int64)
     return PointSet(
         k=k,

@@ -21,6 +21,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "score.cpp"),
     os.path.join(os.path.dirname(__file__), "count.cpp"),
     os.path.join(os.path.dirname(__file__), "viterbi.cpp"),
+    os.path.join(os.path.dirname(__file__), "encode.cpp"),
 ]
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
@@ -93,6 +94,12 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.viterbi_two_track.argtypes = [
         _i64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_int64, _i8p, _i8p,
     ]
+    lib.encode_batch_meta.argtypes = [_u8p, _i64p, ctypes.c_int64, _i64p]
+    lib.encode_batch_meta.restype = ctypes.c_int
+    lib.encode_batch_fill.argtypes = [
+        _u8p, _i64p, ctypes.c_int64, _i8p, _i64p, _i64p, _i64p,
+    ]
+    lib.encode_batch_fill.restype = ctypes.c_int
     return lib
 
 
@@ -248,6 +255,49 @@ def mean_shift_argmin_batch(counts: np.ndarray, mags: np.ndarray,
         out.ctypes.data_as(_i64p),
     )
     return out
+
+
+def encode_batch(raw_seqs):
+    """Native batched sequence encoding: list of raw byte strings ->
+    (codes int8 blob, code_offsets, segments int64 [S,2] blob, seg_offsets,
+    effective, ref_list_effective, gc) or None when unavailable or when an
+    invalid letter is present (caller falls back per record)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    n = len(raw_seqs)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(raw_seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    blob = np.frombuffer(b"".join(raw_seqs), dtype=np.uint8) if n else np.zeros(0, np.uint8)
+    blob = np.ascontiguousarray(blob)
+    if len(blob) == 0:
+        blob = np.zeros(1, dtype=np.uint8)
+    meta = np.zeros(5 * n, dtype=np.int64)
+    lib.encode_batch_meta(
+        blob.ctypes.data_as(_u8p), offsets.ctypes.data_as(_i64p), n,
+        meta.ctypes.data_as(_i64p),
+    )
+    meta = meta.reshape(n, 5)
+    seg_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(meta[:, 0], out=seg_offsets[1:])
+    codes = np.empty(int(offsets[-1]), dtype=np.int8)
+    segs = np.empty(2 * int(seg_offsets[-1]), dtype=np.int64)
+    if len(codes) == 0:
+        codes = np.zeros(1, dtype=np.int8)
+    if len(segs) == 0:
+        segs = np.zeros(2, dtype=np.int64)
+    err = np.zeros(1, dtype=np.int64)
+    lib.encode_batch_fill(
+        blob.ctypes.data_as(_u8p), offsets.ctypes.data_as(_i64p), n,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        seg_offsets.ctypes.data_as(_i64p),
+        segs.ctypes.data_as(_i64p),
+        err.ctypes.data_as(_i64p),
+    )
+    if err[0] != 0:
+        return None
+    return codes, offsets, segs, seg_offsets, meta
 
 
 def viterbi_two_track(seg: np.ndarray, p_log: np.ndarray, t_log: np.ndarray,

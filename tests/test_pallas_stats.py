@@ -1,0 +1,61 @@
+"""Pallas fused-stats kernel vs the float64 oracle (interpreter mode on the
+CPU test mesh; the same kernel compiles for TPU VMEM tiles)."""
+import os
+
+import numpy as np
+import pytest
+
+from meshclust2_tpu.features import flags as F
+from meshclust2_tpu.features import host as H
+from meshclust2_tpu.io.fasta import read_fasta
+from meshclust2_tpu.kmer.counting import build_point_set
+from meshclust2_tpu.ops.pallas_stats import center_block_stats, derive_singles
+
+DERIVABLE = [
+    F.FEAT_MANHATTAN, F.FEAT_EUCLIDEAN, F.FEAT_INTERSECTION,
+    F.FEAT_KULCZYNSKI2, F.FEAT_SIMRATIO, F.FEAT_NORMALIZED_VECTORS,
+    F.FEAT_PEARSON_COEFF, F.FEAT_D2z, F.FEAT_EUCLIDEAN_Z, F.FEAT_EMD,
+    F.FEAT_LENGTHD,
+]
+
+
+def test_kernel_stats_exact(fixtures_dir):
+    recs = read_fasta(os.path.join(fixtures_dir, "pairs.fasta"))
+    ps = build_point_set(recs, 4, "uint16_t")
+    center = 0
+    block = np.arange(ps.n)
+    stats = center_block_stats(ps.counts[block], ps.counts[center], tile_b=8)
+    # integer stats must be exactly the brute-force values
+    h = ps.counts[block].astype(np.int64)
+    c = ps.counts[center].astype(np.int64)
+    np.testing.assert_array_equal(stats[:, 0], np.minimum(h, c).sum(axis=1))
+    np.testing.assert_array_equal(stats[:, 1], (h * c).sum(axis=1))
+    pref = np.cumsum(h - c, axis=1)
+    np.testing.assert_array_equal(stats[:, 2], np.abs(pref).sum(axis=1))
+
+
+def test_derived_singles_match_oracle(fixtures_dir):
+    recs = read_fasta(os.path.join(fixtures_dir, "pairs.fasta"))
+    ps = build_point_set(recs, 4, "uint16_t")
+    center = 2
+    block = np.arange(ps.n)
+    stats = center_block_stats(ps.counts[block], ps.counts[center], tile_b=8)
+    d = ps.dim
+    self_dots = (ps.counts.astype(np.float64) ** 2).sum(axis=1)
+    got = derive_singles(
+        stats,
+        ps.mags[block].astype(np.float64),
+        np.full(len(block), float(ps.mags[center])),
+        self_dots[block],
+        np.full(len(block), self_dots[center]),
+        ps.stddevs[block],
+        np.full(len(block), ps.stddevs[center]),
+        ps.lengths[block].astype(np.float64),
+        np.full(len(block), float(ps.lengths[center])),
+        d,
+        DERIVABLE,
+    )
+    A = H.side_from_pointset(ps, block)
+    B = H.side_from_pointset(ps, np.full(len(block), center))
+    want = H.compute_singles(DERIVABLE, A, B)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
