@@ -147,18 +147,36 @@ def search(
     q_arr = np.concatenate(q_parts)
     if len(a_arr) == 0:
         return 0
-    A = H.side_from_pointset(db, a_arr)
-    B = H.side_from_pointset(q_ps, q_arr)
+    # one combined point set (db rows first, queries after) lets the fused
+    # native scorer stream both the classifier gate and the regression head
+    from .kmer.counting import concat_point_sets
+    from .native import NativeScorer
+
+    combined = concat_point_sets([db, q_ps])
+    q_off = db.n
     keep = np.ones(len(a_arr), dtype=bool)
     if model_c is not None:
-        prob, _ = model_c.score(A, B)
+        ns = NativeScorer.create(combined, model_c)
+        if ns is not None:
+            prob, _ = ns.score(a_arr, q_arr + q_off)
+        else:
+            prob, _ = model_c.score(
+                H.side_from_pointset(db, a_arr),
+                H.side_from_pointset(q_ps, q_arr),
+            )
         keep = c_round(prob) > 0
     sim = np.ones(len(a_arr))
     if model_r is not None and keep.any():
         sel = np.nonzero(keep)[0]
-        Ak = H.side_from_pointset(db, a_arr[sel])
-        Bk = H.side_from_pointset(q_ps, q_arr[sel])
-        sim_sel = model_r.regression_value(Ak, Bk)
+        ns_r = NativeScorer.create(combined, model_r)
+        if ns_r is not None:
+            sums, _ = ns_r.score(a_arr[sel], q_arr[sel] + q_off, raw_sum=True)
+            sim_sel = np.clip(sums, 0.0, 1.0)
+        else:
+            sim_sel = model_r.regression_value(
+                H.side_from_pointset(db, a_arr[sel]),
+                H.side_from_pointset(q_ps, q_arr[sel]),
+            )
         sim = np.zeros(len(a_arr))
         sim[sel] = sim_sel
     n_pos = 0

@@ -72,7 +72,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, ctypes.c_int64,                      # pairs
         _i32p, _f64p, _f64p, _u8p, ctypes.c_int32,       # singles
         _i32p, _i32p, _i32p, ctypes.c_int32,             # combos
-        _f64p, ctypes.c_double,                          # weights, bias
+        _f64p, ctypes.c_double, ctypes.c_int32,          # weights, bias, raw_sum
         _f64p, _f64p,                                    # outputs
     ]
     lib.score_block.restype = ctypes.c_int
@@ -384,7 +384,7 @@ class NativeScorer:
             return None
         return cls(ps, model, lib)
 
-    def score(self, a_rows, b_rows):
+    def score(self, a_rows, b_rows, raw_sum: bool = False):
         a_rows = np.atleast_1d(np.asarray(a_rows, dtype=np.int64))
         b_rows = np.atleast_1d(np.asarray(b_rows, dtype=np.int64))
         if len(b_rows) == 1 and len(a_rows) > 1:
@@ -418,6 +418,7 @@ class NativeScorer:
             len(self._ck),
             self._weights.ctypes.data_as(_f64p),
             self._bias,
+            1 if raw_sum else 0,
             prob.ctypes.data_as(_f64p),
             dist.ctypes.data_as(_f64p),
         )

@@ -378,6 +378,8 @@ struct ModelSpec {
     int32_t n_combos;
     const double* weights;
     double bias;
+    int32_t raw_sum;  // 1: emit the linear sum (regression head,
+                      // Predictor.cpp:283-300) instead of logistic+bias
 };
 
 inline void decide(const ModelSpec& m, const double* cache, double* out_prob,
@@ -402,7 +404,7 @@ inline void decide(const ModelSpec& m, const double* cache, double* out_prob,
         if (c == 0) dist = val;
         sum += m.weights[c + 1] * val;
     }
-    *out_prob = 1.0 / (1.0 + std::exp(-sum)) + m.bias;
+    *out_prob = m.raw_sum ? sum : 1.0 / (1.0 + std::exp(-sum)) + m.bias;
     *out_dist = dist;
 }
 
@@ -718,10 +720,11 @@ int score_block(
     const uint8_t* is_sim, int32_t n_singles,
     const int32_t* combo_kinds, const int32_t* combo_idx0,
     const int32_t* combo_idx1, int32_t n_combos,
-    const double* weights, double bias,
+    const double* weights, double bias, int32_t raw_sum,
     double* out_prob, double* out_dist) {
     ModelSpec m{single_ids, mins, maxs, is_sim, n_singles,
-                combo_kinds, combo_idx0, combo_idx1, n_combos, weights, bias};
+                combo_kinds, combo_idx0, combo_idx1, n_combos, weights, bias,
+                raw_sum};
     switch (elem_width) {
         case 1:
             return score_block_t<uint8_t>((const uint8_t*)counts, mags, lengths,
