@@ -31,7 +31,7 @@ MUT_REVERSION = 8
 class MultiMute:
     def __init__(self, pa: int, pc: int, pg: int, pt: int, alloc: int,
                  enable_trans: bool, enable_rev: bool, seed: int):
-        self.rng = LCG(seed)
+        self.rng = LCG(seed & 0xFFFFFFFF)
         self.percs = (pa, pc, pg, pt)
         self.max_trans = 0
         self.max_insert = 0
@@ -252,7 +252,7 @@ class MultiMute:
 class SingMute:
     def __init__(self, pa: int, pc: int, pg: int, pt: int, num_mut: int,
                  seq: str, valid: List[bool], seed: int):
-        self.rng = LCG(seed)
+        self.rng = LCG(seed & 0xFFFFFFFF)
         self.percs = (pa, pc, pg, pt)
         self.alignment_length = 0
         self.ibp = 0
@@ -350,7 +350,10 @@ class HandleSeq:
         self.mode = mode & MUT_BOTH
         self.enable_trans = bool(mode & MUT_TRANSLOCATION)
         self.enable_rev = bool(mode & MUT_REVERSION)
-        self.random = LCG(seed)
+        # the reference's seed parameters are std::random_device::result_type
+        # (32-bit), truncating the 64-bit LCG draws at every constructor
+        # boundary (HandleSeq.h:44, MultiMute.h, SingMute.h)
+        self.random = LCG(seed & 0xFFFFFFFF)
 
     def mutate(self, sequence: str, mute_rate: int, split: int) -> Tuple[float, str]:
         if mute_rate == 0:
