@@ -43,11 +43,13 @@ class MultiMute:
         self.ibp = 0
         if alloc == 0:
             return
+        # percentage split among mutation kinds (MultiMute.cpp:30-71).
+        # Note: alloc == 1 does NOT return early in the reference — it falls
+        # through to the dup draw below, consuming one RNG value
+        # (maxDup = randMod(1) == 0).
         if alloc == 1:
             self.max_insert = 1
-            return
-        # percentage split among mutation kinds (MultiMute.cpp:40-71)
-        if enable_trans:
+        elif enable_trans:
             if alloc > 1:
                 self.max_trans = self.rng.rand_mod(alloc)
                 alloc -= self.max_trans
@@ -103,17 +105,24 @@ class MultiMute:
     def gen_multi(self, seq: str) -> Tuple[str, List[bool]]:
         """Apply block mutations; returns (mutated_seq, validity_mask)
         (MultiMute.cpp:121-170)."""
+        import numpy as np
+
         n = len(seq)
         mut_bp = self.total_alloc * n / 100.0
         self.max_block_size = max(2, min(50, int(round_half(mut_bp / 10))))
+        # the reference scales percentages through float32:
+        # (int64_t)((float)(pct / 100.0) * seq->length()) (MultiMute.cpp:128-133)
+        def scale(pct):
+            return int(np.float32(np.float32(pct / 100.0) * np.float32(n)))
+
         pct_total = (100 - self.max_reverse - self.max_trans - self.max_insert
                      - self.max_dup - self.max_del)
-        max_non = int(pct_total / 100.0 * n)
-        self.max_reverse = int(self.max_reverse / 100.0 * n)
-        self.max_trans = int(self.max_trans / 100.0 * n)
-        self.max_insert = int(self.max_insert / 100.0 * n)
-        self.max_del = int(self.max_del / 100.0 * n)
-        self.max_dup = int(self.max_dup / 100.0 * n)
+        max_non = scale(pct_total)
+        self.max_reverse = scale(self.max_reverse)
+        self.max_trans = scale(self.max_trans)
+        self.max_insert = scale(self.max_insert)
+        self.max_del = scale(self.max_del)
+        self.max_dup = scale(self.max_dup)
         self.alignment_length = self.max_insert + self.max_dup
         self.ibp = self.max_del
 
@@ -376,7 +385,13 @@ class HandleSeq:
             raise RuntimeError("mutation size is not matching the multi-sequence")
         sing = SingMute(pa, pc, pg, pt, perc_sing, mut_seq, valid,
                         self.random.next_rand_seed())
-        alignment_length = multi.alignment_length + sing.alignment_length + n
-        ibp = n - multi.ibp - sing.ibp
-        identity = ibp / alignment_length
+        # float32 arithmetic like the reference's `float` identity
+        # (HandleSeq.cpp:124-128)
+        import numpy as np
+
+        alignment_length = np.float32(
+            multi.alignment_length + sing.alignment_length + n
+        )
+        ibp = np.float32(n - multi.ibp - sing.ibp)
+        identity = float(np.float32(ibp / alignment_length))
         return identity, sing.out_seq

@@ -22,6 +22,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "count.cpp"),
     os.path.join(os.path.dirname(__file__), "viterbi.cpp"),
     os.path.join(os.path.dirname(__file__), "encode.cpp"),
+    os.path.join(os.path.dirname(__file__), "glm.cpp"),
 ]
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
@@ -81,6 +82,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, ctypes.c_int64, i64p,
     ]
     lib.mean_shift_argmin.restype = ctypes.c_int
+    lib.raw_singles.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, ctypes.c_int64,
+        i64p, i64p, ctypes.c_int64, _i32p, ctypes.c_int32, _f64p,
+    ]
+    lib.raw_singles.restype = ctypes.c_int
+    lib.glm_train_ref.argtypes = [_f64p, ctypes.c_int64, ctypes.c_int64, _f64p, _f64p]
+    lib.glm_train_ref.restype = ctypes.c_int
     _i8p = ctypes.POINTER(ctypes.c_int8)
     lib.count_kmers_batch.argtypes = [
         _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
@@ -226,6 +234,60 @@ def largest_pseudocount_batch(records, k: int):
             len(records), k,
         )
     )
+
+
+def glm_train_native(X: np.ndarray, y: np.ndarray):
+    """Reference-bitwise GLM solve (native, same FMA contraction as the
+    reference binary); returns weights [m] or None when unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    n, m = X.shape
+    w = np.empty(m, dtype=np.float64)
+    lib.glm_train_ref(
+        X.ctypes.data_as(_f64p), n, m,
+        y.ctypes.data_as(_f64p), w.ctypes.data_as(_f64p),
+    )
+    return w
+
+
+def raw_singles_batch(ps, a_rows: np.ndarray, b_rows: np.ndarray,
+                      flags_list):
+    """Raw single-feature values with the reference's accumulation order
+    ([P, S] float64), or None when the native library is unavailable or a
+    feature has no native implementation (caller falls back to the numpy
+    oracle)."""
+    from ..features.flags import feat_log2
+
+    lib = _get_lib()
+    if lib is None:
+        return None
+    ids = np.array([feat_log2(f) for f in flags_list], dtype=np.int32)
+    if lib.supports_features(ids.ctypes.data_as(_i32p), len(ids)) != 0:
+        return None
+    counts = np.ascontiguousarray(ps.counts)
+    if counts.dtype not in (np.uint8, np.uint16, np.uint32):
+        counts = counts.astype(np.uint32)
+    mags = np.ascontiguousarray(ps.mags, dtype=np.int64)
+    lengths = np.ascontiguousarray(ps.lengths, dtype=np.int64)
+    stddevs = np.ascontiguousarray(ps.stddevs, dtype=np.float64)
+    a_rows = np.ascontiguousarray(a_rows, dtype=np.int64)
+    b_rows = np.ascontiguousarray(b_rows, dtype=np.int64)
+    out = np.empty((len(a_rows), len(ids)), dtype=np.float64)
+    rc = lib.raw_singles(
+        counts.ctypes.data_as(ctypes.c_void_p), counts.itemsize,
+        mags.ctypes.data_as(_i64p), lengths.ctypes.data_as(_i64p),
+        stddevs.ctypes.data_as(_f64p), counts.shape[1],
+        a_rows.ctypes.data_as(_i64p), b_rows.ctypes.data_as(_i64p),
+        len(a_rows),
+        ids.ctypes.data_as(_i32p), len(ids),
+        out.ctypes.data_as(_f64p),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def mean_shift_argmin_batch(counts: np.ndarray, mags: np.ndarray,

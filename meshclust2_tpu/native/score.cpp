@@ -743,6 +743,38 @@ int score_block(
     }
 }
 
+// Raw single-feature values with the reference's accumulation order, for
+// the training tables (Feature.cpp loop-order parity feeds the byte-exact
+// weights.txt seam).
+int raw_singles(
+    const void* counts, int32_t elem_width, const int64_t* mags,
+    const int64_t* lengths, const double* stddevs, int64_t dim,
+    const int64_t* a_rows, const int64_t* b_rows, int64_t n_pairs,
+    const int32_t* single_ids, int32_t n_singles, double* out /* [P,S] */) {
+    if (elem_width != 1 && elem_width != 2 && elem_width != 4) return -1;
+#define RAW_BODY(T)                                                         \
+    {                                                                       \
+        feat_fn<T> fns[64];                                                 \
+        for (int32_t s = 0; s < n_singles; s++) {                           \
+            fns[s] = dispatch<T>(single_ids[s]);                           \
+            if (!fns[s]) return -1;                                         \
+        }                                                                   \
+        PointsView<T> v{(const T*)counts, mags, lengths, stddevs, nullptr,  \
+                        dim};                                               \
+        _Pragma("omp parallel for schedule(dynamic, 16)")                   \
+        for (int64_t p = 0; p < n_pairs; p++)                               \
+            for (int32_t s = 0; s < n_singles; s++)                         \
+                out[p * n_singles + s] = fns[s](v, a_rows[p], b_rows[p]);   \
+    }
+    switch (elem_width) {
+        case 1: RAW_BODY(uint8_t); break;
+        case 2: RAW_BODY(uint16_t); break;
+        default: RAW_BODY(uint32_t); break;
+    }
+#undef RAW_BODY
+    return 0;
+}
+
 // Batched mean-shift closest-to-mean selection (ClusterFactory.cpp:337-380 /
 // 287-335): for each segment of member rows, compute the float64 mean
 // histogram and return the first member minimizing distance_d

@@ -121,9 +121,17 @@ def _build_pair_tables(
     normalize over training only, BestFirstSelector.cpp:112-128)."""
     t_rows = np.array([p[0] for p in pairs], dtype=np.int64)
     m_rows = np.arange(len(pairs), dtype=np.int64)
-    A = H.side_from_pointset(ps, t_rows)
-    B = H.side_from_pointset(mutant_ps, m_rows)
-    raw = H.compute_singles(singles, A, B)
+    # native path: reference-accumulation-order raw values over a combined
+    # point set (templates + mutants), required for byte-exact weights
+    from ..kmer.counting import concat_point_sets
+    from ..native import raw_singles_batch
+
+    combined = concat_point_sets([ps, mutant_ps])
+    raw = raw_singles_batch(combined, t_rows, ps.n + m_rows, singles)
+    if raw is None:
+        A = H.side_from_pointset(ps, t_rows)
+        B = H.side_from_pointset(mutant_ps, m_rows)
+        raw = H.compute_singles(singles, A, B)
     if mins is None:
         mins, maxs = S.normalize_bounds(raw, singles)
     normalized = S.apply_normalization(raw, singles, mins, maxs)
@@ -152,12 +160,15 @@ def _gen_balanced(
         gen = mutate_seqs(ps, row, n_pos, 100 * identity, 100, mut_type, seed)
         gen += mutate_seqs(ps, row, n_neg, min_id_pct, 100 * identity, mut_type, seed)
         tmpl_len = int(ps.lengths[row])
+        # uint64-truncated window bounds (Predictor.cpp:501-505)
+        min_len = int(tmpl_len * identity)
+        max_len = int(tmpl_len / identity)
         for row_, seq_, val_ in gen:
             if val_ > identity:
                 # length sanity check on the mutant's effective size
                 # (Predictor.cpp:496-517)
                 second_len = _effective_len(seq_)
-                if tmpl_len * identity <= second_len <= tmpl_len / identity:
+                if min_len <= second_len <= max_len:
                     pos_buf.append((row_, seq_, val_))
             else:
                 neg_buf.append((row_, seq_, val_))

@@ -98,9 +98,14 @@ def design_matrix(tbl: SinglesTable, feat_set: Sequence[FeatPair]) -> np.ndarray
 
 def class_eval(train: SinglesTable, test: SinglesTable, feat_set: Sequence[FeatPair]):
     """class_train + class_test (FeatureSelector.cpp:57-103): returns
-    (test_accuracy, weights, train_metrics, test_metrics)."""
+    (test_accuracy, weights, train_metrics, test_metrics).  The solve
+    replicates the reference's Gauss-Jordan pseudo-inverse chain bit-for-bit
+    (glm/exact.py); label predictions use fast matmuls (rounding decisions
+    only flip at measure-zero boundaries)."""
+    from ..glm.exact import train_glm_exact
+
     Xtr = design_matrix(train, feat_set)
-    w = G.train_glm(Xtr, train.labels)
+    w = train_glm_exact(Xtr, train.labels)
     Xte = design_matrix(test, feat_set)
 
     def metrics(X, y):
@@ -186,11 +191,14 @@ def greedy_select_regression(
     """Forward greedy selection minimizing mean |error|
     (GreedySelector.cpp:10-76)."""
 
+    from ..glm.exact import train_glm_exact
+
     def regr_eval(feat_set):
         X = design_matrix(train, feat_set)
-        w = G.train_glm(X, train.values)
+        w = train_glm_exact(X, train.values)
         Xte = design_matrix(test, feat_set)
-        err = np.abs(Xte @ w - test.values).mean()
+        # mean |err| accumulated like FeatureSelector.cpp:76-88
+        err = np.abs(Xte @ w - test.values).sum() / len(test.values)
         return err, w
 
     selected: List[FeatPair] = []

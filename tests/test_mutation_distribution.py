@@ -50,7 +50,39 @@ def test_mutation_matches_reference(fixtures_dir, mode, fixture):
         assert gr == rr, f"sample {i}: rate diverged (LCG chain broken)"
         assert gil == ril, f"sample {i}: template length diverged"
         assert abs(gi - ri) < 1e-6, f"sample {i}: identity {gi} vs {ri}"
-        if mode == MUT_SINGLE:
-            assert gol == rol, f"sample {i}: output length {gol} vs {rol}"
-        else:
-            assert abs(gol - rol) <= 60, f"sample {i}: output length {gol} vs {rol}"
+        assert gol == rol, f"sample {i}: output length {gol} vs {rol}"
+
+
+def _fnv(s: str) -> int:
+    h = 1469598103934665603
+    for c in s.encode():
+        h ^= c
+        h = (h * 1099511628211) & ((1 << 64) - 1)
+    return h
+
+
+@pytest.mark.parametrize("mode,fixture", [
+    (MUT_SINGLE, "mutseq_single.tsv"),
+    (MUT_BOTH, "mutseq_both.tsv"),
+])
+def test_mutated_sequences_byte_exact(fixtures_dir, mode, fixture):
+    """The engine produces byte-identical mutated sequences to the reference
+    (FNV-1a hashes of 100 (template, rate, seed) samples per mode), covering
+    the full LCG chain, 32-bit seed truncation, float32 percentage scaling,
+    and the libstdc++ shuffle algorithm."""
+    ref = [l.split() for l in open(os.path.join(fixtures_dir, fixture))]
+    from meshclust2_tpu.utils.rng import LCG
+
+    rng = LCG(98765)
+
+    def rseq(n):
+        return "".join("ACGT"[rng.rand_mod(4)] for _ in range(n))
+
+    for i in range(100):
+        seq = rseq(500 + rng.rand_mod(300))
+        rate = 1 + rng.rand_mod(35)
+        hs = HandleSeq(mode, rng.next_rand_seed())
+        spt = rng.rand_mod(rate)
+        _, mut = hs.mutate(seq, rate, spt)
+        assert len(mut) == int(ref[i][1]), f"sample {i} length"
+        assert _fnv(mut) == int(ref[i][2]), f"sample {i} content"
