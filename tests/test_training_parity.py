@@ -42,9 +42,11 @@ def test_training_reproduces_reference_selection(fixtures_dir, tmp_path):
     # identical selected feature set (combos and order)
     assert model.classifier.combos == ref.classifier.combos
     assert model.classifier.singles == ref.classifier.singles
-    # bitwise-identical normalization bounds
-    np.testing.assert_array_equal(model.classifier.mins, ref.classifier.mins)
-    np.testing.assert_array_equal(model.classifier.maxs, ref.classifier.maxs)
+    # normalization bounds identical at the file's 15-digit serialization
+    # (the golden went through one %.15g round trip)
+    fmt = lambda arr: [f"{v:.15g}" for v in arr]
+    assert fmt(model.classifier.mins) == fmt(ref.classifier.mins)
+    assert fmt(model.classifier.maxs) == fmt(ref.classifier.maxs)
     # weights to 9+ significant digits (ulp tail is codegen-dependent)
     np.testing.assert_allclose(
         model.classifier.weights, ref.classifier.weights, rtol=1e-9
