@@ -22,6 +22,7 @@ Batch shapes are padded to power-of-two buckets to bound XLA recompilation.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -31,6 +32,16 @@ from ..features import flags as F
 from ..features import host as H
 from ..kmer.counting import PointSet
 from ..model.classifier import CompiledModel
+from .pallas_stats import center_block_stats, derive_singles
+
+# singles derivable from the Pallas fused-stats kernel's (sum-min, dot, EMD)
+# plus per-point moments (ops/pallas_stats.py:derive_singles)
+_FUSED_DERIVABLE = frozenset({
+    F.FEAT_MANHATTAN, F.FEAT_EUCLIDEAN, F.FEAT_INTERSECTION,
+    F.FEAT_KULCZYNSKI2, F.FEAT_SIMRATIO, F.FEAT_NORMALIZED_VECTORS,
+    F.FEAT_PEARSON_COEFF, F.FEAT_D2z, F.FEAT_EUCLIDEAN_Z, F.FEAT_EMD,
+    F.FEAT_LENGTHD,
+})
 
 # decisions closer than this to a rounding threshold get re-checked in f64
 DEFAULT_PROB_MARGIN = 2e-4
@@ -121,6 +132,44 @@ class DeviceFeatureEngine:
             self.planes["digit_count"] = jnp.asarray(dc)
 
         self._pair_fn = jax.jit(self._build_pair_fn())
+
+        # Pallas fused-stats eligibility: every selected single must derive
+        # from the kernel's integer statistics, and those statistics must fit
+        # the kernel's int32 accumulators / exact-f32 prefix range
+        # (dot <= max_count * max_mag, emd <= d * max_mag, |prefix| < 2^24).
+        maxc = float(ps.counts.max()) if ps.n else 0.0
+        maxmag = float(ps.mags.max()) if ps.n else 0.0
+        self.fused_ok = (
+            set(self.singles) <= _FUSED_DERIVABLE
+            and maxc * maxmag < 2**31
+            and maxmag * d < 2**31
+            and maxmag < 2**24
+        )
+        if self.fused_ok:
+            c64 = ps.counts.astype(np.float64)
+            self._mags64 = ps.mags.astype(np.float64)
+            self._self64 = np.einsum("ij,ij->i", c64, c64)
+            self._len64 = ps.lengths.astype(np.float64)
+
+    def center_singles_fused(self, rows: np.ndarray, center_row: int,
+                             interpret: Optional[bool] = None) -> np.ndarray:
+        """Raw singles [B, S] float64 for a block of rows against ONE center,
+        through the Pallas fused-stats kernel (one HBM pass over the block
+        instead of one reduction per feature).  Requires self.fused_ok."""
+        rows = np.asarray(rows)
+        stats = center_block_stats(
+            self.ps.counts[rows], self.ps.counts[center_row], interpret=interpret
+        )
+        b = len(rows)
+        full = lambda v: np.full(b, v)
+        return derive_singles(
+            stats,
+            self._mags64[rows], full(self._mags64[center_row]),
+            self._self64[rows], full(self._self64[center_row]),
+            self.ps.stddevs[rows], full(self.ps.stddevs[center_row]),
+            self._len64[rows], full(self._len64[center_row]),
+            self.d, list(self.singles),
+        )
 
     def _n2_plane(self, flag: int) -> np.ndarray:
         ps = self.ps
@@ -386,6 +435,9 @@ class DeviceScorer:
         self.exact_recheck = exact_recheck
         self.prob_margin = prob_margin
         self.dist_band = dist_band
+        # MC2_PALLAS: "auto"/"1" route block-vs-one-center batches through
+        # the fused Pallas stats kernel when eligible; "0" disables.
+        self.use_fused = os.environ.get("MC2_PALLAS", "auto") != "0"
         from ..cluster.engine import HostScorer
 
         self._host = HostScorer(ps, model)
@@ -399,7 +451,16 @@ class DeviceScorer:
             b_rows = np.broadcast_to(b_rows, a_rows.shape)
         if len(a_rows) == 1 and len(b_rows) > 1:
             a_rows = np.broadcast_to(a_rows, b_rows.shape)
-        raw = self.engine.singles_batch(a_rows, b_rows).astype(np.float64)
+        if (
+            self.use_fused
+            and self.engine.fused_ok
+            and len(b_rows) > 1
+            and (b_rows == b_rows[0]).all()
+        ):
+            # the common center-vs-window shape: one fused HBM pass
+            raw = self.engine.center_singles_fused(a_rows, int(b_rows[0]))
+        else:
+            raw = self.engine.singles_batch(a_rows, b_rows).astype(np.float64)
         _, prob, dist = self.model.decision_from_raw(raw)
         self.scored_pairs += len(a_rows)
         if self.exact_recheck:

@@ -59,3 +59,37 @@ def test_derived_singles_match_oracle(fixtures_dir):
     B = H.side_from_pointset(ps, np.full(len(block), center))
     want = H.compute_singles(DERIVABLE, A, B)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_device_scorer_fused_path_matches_host(fixtures_dir):
+    """DeviceScorer routes center-vs-window batches through the fused Pallas
+    kernel (MC2_PALLAS auto); decisions must match the float64 host oracle."""
+    from meshclust2_tpu.cluster.engine import HostScorer
+    from meshclust2_tpu.model.classifier import CompiledModel
+    from meshclust2_tpu.model.weights import ModelBlock
+    from meshclust2_tpu.ops.device_features import DeviceScorer
+
+    recs = read_fasta(os.path.join(fixtures_dir, "pairs.fasta"))
+    ps = build_point_set(recs, 4, "uint16_t")
+    singles = [F.FEAT_MANHATTAN, F.FEAT_INTERSECTION, F.FEAT_EUCLIDEAN,
+               F.FEAT_KULCZYNSKI2]
+    block = ModelBlock(
+        combos=[("xy", F.FEAT_MANHATTAN | F.FEAT_INTERSECTION),
+                ("x2y2", F.FEAT_EUCLIDEAN | F.FEAT_KULCZYNSKI2)],
+        weights=np.array([-1.0, 2.2, 1.1]),
+        singles=singles,
+        mins=np.array([0.0, 0.2, 0.0, 100.0]),
+        maxs=np.array([5000.0, 1.0, 600.0, 50000.0]),
+    )
+    model = CompiledModel(block)
+    dev = DeviceScorer(ps, model)
+    assert dev.engine.fused_ok
+    host = HostScorer(ps, model)
+
+    a = np.arange(ps.n)
+    b = np.zeros(ps.n, dtype=np.int64)  # constant center -> fused route
+    p_dev, d_dev = dev.score(a, b)
+    p_host, d_host = host.score(a, b)
+    np.testing.assert_array_equal(np.floor(p_dev + 0.5), np.floor(p_host + 0.5))
+    assert int(np.argmax(d_dev)) == int(np.argmax(d_host))
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
