@@ -81,6 +81,52 @@ def test_sharded_mean_update_matches_host(mesh8):
         np.testing.assert_allclose(gmin[c], want_min, rtol=1e-5)
 
 
+def test_mesh_shape_invariance_scores_and_update():
+    """sharded_center_scores and sharded_mean_update on 1, 2, 4, 8 devices
+    produce identical results (SCALING.md's mesh-size invariance claim)."""
+    rng = np.random.default_rng(7)
+    n, d, C = 32, 64, 3
+    H = rng.integers(1, 20, size=(n, d)).astype(np.float32)
+    mags = H.sum(axis=1)
+    mask = (rng.random((C, n)) < 0.4).astype(np.float32)
+    mask[:, 0] = 1.0
+    rows = np.arange(n, dtype=np.int32)
+    center = H[0].copy()
+
+    def singles_fn(H_local, c):
+        s_min = jnp.minimum(H_local, c[None, :]).sum(axis=1)
+        s_abs = jnp.abs(H_local - c[None, :]).sum(axis=1)
+        inter = 2 * s_min / (H_local.sum(axis=1) + c.sum())
+        return jnp.stack([s_abs, inter], axis=1)
+
+    epilogue = M.classify_kernel_factory(
+        weights=np.array([-1.0, 1.5, 2.5]),
+        mins=np.array([0.0, 0.0]),
+        maxs=np.array([float(2 * d * 20), 1.0]),
+        is_sim=np.array([False, True]),
+        combo_spec=(("xy", (0, 1)), ("x2y2", (0, 1))),
+    )
+    score_res, upd_res = [], []
+    for nd in (1, 2, 4, 8):
+        mesh = M.make_mesh(nd)
+        sfn = M.sharded_center_scores(mesh, singles_fn, epilogue)
+        prob, dist = sfn(_shard(mesh, H, P("data")), jnp.asarray(center))
+        score_res.append((np.asarray(prob), np.asarray(dist)))
+        ufn = M.sharded_mean_update(mesh)
+        gmin, garg = ufn(
+            _shard(mesh, H, P("data")),
+            _shard(mesh, mags, P("data")),
+            _shard(mesh, mask, P(None, "data")),
+            _shard(mesh, rows, P("data")),
+        )
+        upd_res.append((np.asarray(gmin), np.asarray(garg)))
+    for i in (1, 2, 3):
+        np.testing.assert_array_equal(score_res[0][0], score_res[i][0])
+        np.testing.assert_array_equal(score_res[0][1], score_res[i][1])
+        np.testing.assert_allclose(upd_res[0][0], upd_res[i][0], rtol=1e-6)
+        np.testing.assert_array_equal(upd_res[0][1], upd_res[i][1])
+
+
 def test_mesh_shape_invariance():
     """Same sharded GLM solve on 2, 4, 8 devices gives the same weights."""
     rng = np.random.default_rng(3)
