@@ -34,6 +34,41 @@ for ch, code in [
 
 _SEG_LENGTH = 1_000_000  # Chromosome.cpp:29 (help(1000000, true))
 
+# Proteinogenic amino-acid codes (ChromosomeOneDigitProtein.cpp:32-62):
+# 22 residues 0..21 in alphabetical order, plus the ambiguity fallbacks
+# B->D, Z->E, J->L.  No shipped reference binary reaches the protein path
+# (Util::isDna is never false at runtime); provided for inventory
+# completeness (SURVEY §2.4).
+_PROTEIN_CODE_TABLE = np.full(256, -2, dtype=np.int8)
+for _i, _ch in enumerate("ACDEFGHIKLMNOPQRSTUVWY"):
+    _PROTEIN_CODE_TABLE[ord(_ch)] = _i
+for _ch, _to in [("B", "D"), ("Z", "E"), ("J", "L")]:
+    _PROTEIN_CODE_TABLE[ord(_ch)] = _PROTEIN_CODE_TABLE[ord(_to)]
+
+
+def encode_protein_sequence(header: str, seq: str) -> "SequenceRecord":
+    """Protein one-digit encoding (ChromosomeOneDigitProtein::buildCodes).
+
+    The upstream class inherits Chromosome's DNA segmentation, where runs of
+    'N' mark unread regions — but 'N' is asparagine in a protein alphabet,
+    so that inherited behavior would corrupt protein segments (one more
+    reason the path is dead upstream).  Here the whole sequence is one
+    segment and every residue must be a valid amino-acid letter."""
+    arr = np.frombuffer(seq.upper().encode("latin-1"), dtype=np.uint8)
+    codes = _PROTEIN_CODE_TABLE[arr]
+    if (codes == -2).any():
+        bad = chr(arr[int(np.argmax(codes == -2))])
+        raise ValueError(f"Invalid amino acid: {bad}")
+    segments = np.array([[0, len(arr) - 1]], dtype=np.int64) if len(arr) else \
+        np.zeros((0, 2), dtype=np.int64)
+    return SequenceRecord(
+        header=header,
+        codes=codes,
+        segments=segments,
+        effective_size=len(arr),
+        total_size=len(arr),
+    )
+
 
 @dataclass
 class SequenceRecord:
