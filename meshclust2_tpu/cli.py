@@ -96,6 +96,16 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         help="scoring backend: float64 host oracle or batched device kernels",
     )
+    p.add_argument(
+        "--profile",
+        nargs="?",
+        const="/tmp/mc2_profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR (the TPU "
+        "analog of the reference's Clock stamps, SURVEY §5; view with "
+        "TensorBoard or xprof)",
+    )
     return p
 
 
@@ -197,6 +207,28 @@ def make_scorer(ps: PointSet, model: CompiledModel, device: str):
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     clock = Clock()
+    if args.threads > 0:
+        # the reference caps OpenMP parallelism via omp_set_num_threads
+        # (CRunner.cpp:407-422); ours lives in the native library
+        os.environ["OMP_NUM_THREADS"] = str(args.threads)
+        from .native import set_num_threads
+
+        set_num_threads(args.threads)
+    profiler_cm = None
+    if args.profile:
+        import jax.profiler
+
+        profiler_cm = jax.profiler.trace(args.profile)
+        profiler_cm.__enter__()
+    try:
+        return _main_impl(args, clock)
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+            print(f"profile trace written to {args.profile}")
+
+
+def _main_impl(args, clock) -> int:
 
     train_files = list(args.files)
     if args.list_file:

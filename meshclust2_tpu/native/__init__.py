@@ -62,6 +62,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             return None
     lib = ctypes.CDLL(so)
     i64p = _i64p
+    lib.mc2_set_num_threads.argtypes = [ctypes.c_int32]
     lib.sort_perm_u64.argtypes = [ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, i64p]
     lib.sort_perm_f64.argtypes = [_f64p, ctypes.c_int64, i64p]
     lib.sort_perm_bytes.argtypes = [_u8p, i64p, ctypes.c_int64, i64p]
@@ -117,6 +118,14 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         _lib = _build_lib()
         _lib_tried = True
     return _lib
+
+
+def set_num_threads(n: int) -> None:
+    """Cap the native library's OpenMP parallelism (the --threads flag;
+    CRunner.cpp:407-422).  No-op when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is not None and n > 0:
+        lib.mc2_set_num_threads(int(n))
 
 
 def sort_perm(keys: np.ndarray) -> np.ndarray:

@@ -8,8 +8,15 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <omp.h>
 
 extern "C" {
+
+// --threads support (CRunner.cpp:407-422 calls omp_set_num_threads): caps
+// every OpenMP region in this library.
+void mc2_set_num_threads(int32_t n) {
+    if (n > 0) omp_set_num_threads(n);
+}
 
 // codes: concatenated int8 code arrays (0..3 valid, negative elsewhere),
 //        sequence i occupying [code_offsets[i], code_offsets[i+1]).

@@ -110,3 +110,21 @@ def test_parser_defaults():
     assert args.delta == 5 and args.iterations == 15
     assert args.output == "output.clstr"
     assert args.feat == "fast" and args.mut_type == "both"
+
+
+def test_threads_and_profile_flags():
+    from meshclust2_tpu.cli import build_parser
+
+    a = build_parser().parse_args(["--threads", "2", "x.fasta"])
+    assert a.threads == 2 and a.profile is None
+    a = build_parser().parse_args(["x.fasta", "--profile"])
+    assert a.profile == "/tmp/mc2_profile"
+    a = build_parser().parse_args(["--profile", "/tmp/t", "x.fasta"])
+    assert a.profile == "/tmp/t"
+
+
+def test_native_set_num_threads_noop_safe():
+    from meshclust2_tpu.native import set_num_threads
+
+    set_num_threads(1)  # must not raise regardless of native availability
+    set_num_threads(0)
