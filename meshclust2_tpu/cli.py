@@ -278,6 +278,18 @@ def _main_impl(args, clock) -> int:
     records_cache.clear()
     clock.stamp("read_in_points")
 
+    if all_ps is None or all_ps.n == 0:
+        # the reference has no guard here and crashes; fail cleanly with an
+        # empty (but valid) output instead
+        print("No sequences found in input; writing empty output",
+              file=sys.stderr)
+        write_clstr(args.output, [])
+        clock.stamp("done")
+        return 1
+    if recovered is None and (train_ps is None or train_ps.n == 0):
+        print("No training sequences found", file=sys.stderr)
+        return 1
+
     if recovered is not None:
         model = CompiledModel(recovered.classifier, bias=args.bias)
     else:

@@ -128,3 +128,32 @@ def test_native_set_num_threads_noop_safe():
 
     set_num_threads(1)  # must not raise regardless of native availability
     set_num_threads(0)
+
+
+def test_empty_input_clean_exit(tmp_path, fixtures_dir):
+    import os
+
+    from meshclust2_tpu.cli import main
+
+    empty = tmp_path / "empty.fasta"
+    empty.write_text("")
+    out = tmp_path / "out.clstr"
+    rc = main(["--recover", os.path.join(fixtures_dir, "small_ref_weights.txt"),
+               "--output", str(out), "--device", "host", str(empty)])
+    assert rc == 1
+    assert out.read_text() == ""
+
+
+def test_single_sequence_clusters(tmp_path, fixtures_dir):
+    import os
+
+    from meshclust2_tpu.cli import main
+
+    one = tmp_path / "one.fasta"
+    one.write_text(">a\nACGTACGTACGTACGTACGTACGTACGTACGT\n")
+    out = tmp_path / "out.clstr"
+    rc = main(["--recover", os.path.join(fixtures_dir, "small_ref_weights.txt"),
+               "--output", str(out), "--device", "host", str(one)])
+    assert rc == 0
+    assert ">Cluster 0" in out.read_text()
+    assert "*" in out.read_text()
