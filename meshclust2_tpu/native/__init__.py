@@ -99,6 +99,17 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
     ]
     lib.largest_pseudocount_batch.restype = ctypes.c_uint64
+    lib.red_chain_scores.argtypes = [
+        _i64p, _f64p, _i64p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_int64, _i64p,
+    ]
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.count_words_raw.argtypes = [
+        _i8p, _i64p, ctypes.c_int64, ctypes.c_int32, _i64p,
+    ]
+    lib.red_score_bases.argtypes = [
+        _i8p, _i64p, ctypes.c_int64, ctypes.c_int32, _i64p, _i64p,
+    ]
     _i8p = ctypes.POINTER(ctypes.c_int8)
     lib.viterbi_two_track.argtypes = [
         _i64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_int64, _i8p, _i8p,
@@ -118,6 +129,64 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         _lib = _build_lib()
         _lib_tried = True
     return _lib
+
+
+def red_chain_scores(observed: np.ndarray, probs_list, k: int, order: int,
+                     l: float, min_obs: int):
+    """Fused Red expectation chain + adjusted scores (bitwise-identical to
+    red/table.py's numpy path).  Returns int64 [4^k] or None when the
+    native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    obs = np.ascontiguousarray(observed, dtype=np.int64)
+    flat = np.ascontiguousarray(np.concatenate(probs_list), dtype=np.float64)
+    offsets = np.zeros(len(probs_list) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in probs_list], out=offsets[1:])
+    out = np.empty(4**k, dtype=np.int64)
+    lib.red_chain_scores(
+        obs.ctypes.data_as(_i64p), flat.ctypes.data_as(_f64p),
+        offsets.ctypes.data_as(_i64p), k, order,
+        ctypes.c_double(float(l)), int(min_obs),
+        out.ctypes.data_as(_i64p),
+    )
+    return out
+
+
+def count_words_raw(codes: np.ndarray, segments: np.ndarray, k: int,
+                    out: np.ndarray) -> bool:
+    """Accumulate raw k-mer counts of one record into `out` ([4^k] int64).
+    Returns False when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    segs = np.ascontiguousarray(segments, dtype=np.int64)
+    lib.count_words_raw(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        segs.ctypes.data_as(_i64p), len(segments), int(k),
+        out.ctypes.data_as(_i64p),
+    )
+    return True
+
+
+def red_score_bases(codes: np.ndarray, segments: np.ndarray, k: int,
+                    table: np.ndarray):
+    """Per-base adjusted scores for one record (int64 [len(codes)]), or
+    None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    segs = np.ascontiguousarray(segments, dtype=np.int64)
+    table = np.ascontiguousarray(table, dtype=np.int64)
+    out = np.zeros(len(codes), dtype=np.int64)
+    lib.red_score_bases(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        segs.ctypes.data_as(_i64p), len(segments), int(k),
+        table.ctypes.data_as(_i64p), out.ctypes.data_as(_i64p),
+    )
+    return out
 
 
 def set_num_threads(n: int) -> None:

@@ -102,4 +102,94 @@ uint64_t largest_pseudocount_batch(
     return global_best;
 }
 
+// Raw (un-pseudocounted) word counts over one record's valid segments,
+// accumulated into a shared [4^k] int64 table (TableBuilder.cpp:59-104's
+// KmerHashTable::wholesaleIncrement path).
+void count_words_raw(
+    const int8_t* codes, const int64_t* segs, int64_t n_segs,
+    int32_t k, int64_t* out_counts) {
+    const uint64_t mask = (((uint64_t)1) << (2 * k)) - 1;
+    for (int64_t g = 0; g < n_segs; g++) {
+        const int64_t start = segs[2 * g];
+        const int64_t end = segs[2 * g + 1];
+        if (end - start + 1 < k) continue;
+        uint64_t h = 0;
+        for (int64_t i = start; i < start + k; i++) h = (h << 2) | (uint64_t)codes[i];
+        out_counts[h]++;
+        for (int64_t i = start + k; i <= end; i++) {
+            h = ((h << 2) & mask) | (uint64_t)codes[i];
+            out_counts[h]++;
+        }
+    }
+}
+
+// Red stage 4 prologue: per-base adjusted scores for one record — rolling
+// k-mer hash over each segment gathered through the score table, with the
+// reference's tail fill (positions e-k+2..e copy the last scored value,
+// Scorer.cpp:20-47).  out_scores must be zero-initialized (segments
+// shorter than k stay zero).
+void red_score_bases(
+    const int8_t* codes, const int64_t* segs, int64_t n_segs,
+    int32_t k, const int64_t* table, int64_t* out_scores) {
+    const uint64_t mask = (((uint64_t)1) << (2 * k)) - 1;
+    for (int64_t g = 0; g < n_segs; g++) {
+        const int64_t start = segs[2 * g];
+        const int64_t end = segs[2 * g + 1];
+        const int64_t m = end - start + 2 - k;
+        if (m <= 0) continue;
+        uint64_t h = 0;
+        for (int64_t i = start; i < start + k; i++) h = (h << 2) | (uint64_t)codes[i];
+        out_scores[start] = table[h];
+        for (int64_t i = 1; i < m; i++) {
+            h = ((h << 2) & mask) | (uint64_t)codes[start + k - 1 + i];
+            out_scores[start + i] = table[h];
+        }
+        const int64_t last = out_scores[start + m - 1];
+        for (int64_t i = start + m; i <= end; i++) out_scores[i] = last;
+    }
+}
+
+// Red stage 1: fused Markov expectation chain + adjusted scores
+// (EnrichmentMarkovView.cpp:134-215).  For every word y of the 4^k table:
+// expected = l * prod(conditionals over digit windows), score =
+// round(observed - expected) when observed >= min_obs and observed >
+// expected, else 0.  The multiplication order matches red/table.py's numpy
+// path exactly (each *= is one IEEE rounding), so results are bitwise
+// identical; the quaternary-counter quirk (words starting with digit 3 use
+// y >> 2) is applied up front.
+//
+// probs: concatenated conditional tables for orders m = 0..order, table m
+// holding 4^(m+1) doubles at prob_offsets[m].
+void red_chain_scores(
+    const int64_t* observed, const double* probs, const int64_t* prob_offsets,
+    int32_t k, int32_t order, double l, int64_t min_obs,
+    int64_t* out_scores) {
+    const int64_t d = (int64_t)1 << (2 * k);
+    const int64_t quirk_start = 3 * (d / 4);
+    const int64_t rs = k - order - 1;
+#pragma omp parallel for schedule(static)
+    for (int64_t y = 0; y < d; y++) {
+        const int64_t w = (y >= quirk_start) ? (y >> 2) : y;
+        double chain = l;
+        for (int32_t m = 0; m < order; m++) {
+            const int32_t len = m + 1;
+            const int64_t idx = (w >> (2 * (k - len))) & (((int64_t)1 << (2 * len)) - 1);
+            chain *= probs[prob_offsets[m] + idx];
+        }
+        const double* top = probs + prob_offsets[order];
+        const int32_t len = order + 1;
+        const int64_t mask = ((int64_t)1 << (2 * len)) - 1;
+        for (int64_t i = 0; i < rs; i++) {
+            chain *= top[(w >> (2 * (k - len - i))) & mask];
+        }
+        chain *= top[(w >> (2 * (k - len - rs))) & mask];
+        const int64_t obs = observed[y];
+        if (obs >= min_obs && (double)obs > chain) {
+            out_scores[y] = (int64_t)__builtin_floor((double)obs - chain + 0.5);
+        } else {
+            out_scores[y] = 0;
+        }
+    }
+}
+
 }  // extern "C"

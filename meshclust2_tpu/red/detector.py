@@ -84,39 +84,47 @@ class DetectorMaxima:
         second = c_round(left + right - 2 * w * scores[i])
         return first, second
 
+    def _lt_prefix(self) -> np.ndarray:
+        """Lazily cached prefix counts of o_scores < t, so every
+        below-threshold window count is two gathers."""
+        pre = getattr(self, "_lt_pre", None)
+        if pre is None:
+            pre = np.zeros(len(self.o_scores) + 1, dtype=np.int64)
+            np.cumsum(self.o_scores < self.t, out=pre[1:])
+            self._lt_pre = pre
+        return pre
+
     def _find_maxima(self, first: np.ndarray, second: np.ndarray) -> List[int]:
-        """(DetectorMaxima.cpp:268-321)"""
-        out: List[int] = []
-        o = self.o_scores
-        for i in range(1, len(first)):
-            zero_cross = (
-                first[i] == 0
-                or (first[i - 1] < 0 and first[i] > 0)
-                or (first[i - 1] > 0 and first[i] < 0)
-            )
-            if zero_cross and second[i] < 0:
-                magnitude = abs(first[i - 1] - first[i])
-                peak = i + self.w + self.seg_start
-                if magnitude > self.m:
-                    ps = max(peak - self.half_s, self.seg_start)
-                    pe = min(peak + self.half_s, self.seg_end)
-                    count = int((o[ps : pe + 1] < self.t).sum())
-                    v = 100.0 * count / (pe - ps + 1)
-                    if v < self.p:
-                        out.append(peak)
-        return out
+        """(DetectorMaxima.cpp:268-321), vectorized: zero crossings of the
+        first derivative with negative second derivative, magnitude above m,
+        and a below-threshold fraction under p around the peak."""
+        if len(first) < 2:
+            return []
+        f0, f1 = first[:-1], first[1:]
+        cross = (f1 == 0) | ((f0 < 0) & (f1 > 0)) | ((f0 > 0) & (f1 < 0))
+        cand = np.nonzero(cross & (second[1:] < 0))[0] + 1
+        if not len(cand):
+            return []
+        cand = cand[np.abs(first[cand - 1] - first[cand]) > self.m]
+        if not len(cand):
+            return []
+        peaks = cand + self.w + self.seg_start
+        ps = np.maximum(peaks - self.half_s, self.seg_start)
+        pe = np.minimum(peaks + self.half_s, self.seg_end)
+        pre = self._lt_prefix()
+        count = pre[pe + 1] - pre[ps]
+        v = 100.0 * count / (pe - ps + 1)
+        return [int(p) for p in peaks[v < self.p]]
 
     def _find_separators(self, maxima: List[int]) -> List[Tuple[int, int]]:
         """(DetectorMaxima.cpp:333-358)"""
-        seps = []
-        o = self.o_scores
-        for i in range(len(maxima) - 1):
-            s, e = maxima[i], maxima[i + 1]
-            count = int((o[s : e + 1] < self.t).sum())
-            v = 100.0 * count / (e - s + 1)
-            if v >= self.p:
-                seps.append((s, e))
-        return seps
+        if len(maxima) < 2:
+            return []
+        pre = self._lt_prefix()
+        mx = np.asarray(maxima, dtype=np.int64)
+        s, e = mx[:-1], mx[1:]
+        v = 100.0 * (pre[e + 1] - pre[s]) / (e - s + 1)
+        return [(int(a), int(b)) for a, b in zip(s[v >= self.p], e[v >= self.p])]
 
     def _find_regions(self, maxima: List[int], separators) -> None:
         """(DetectorMaxima.cpp:360-384)"""

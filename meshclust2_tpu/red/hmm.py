@@ -112,18 +112,17 @@ class HMM:
             states = self._decode_numpy(seg, P, t)
         # positive runs -> regions (HMM.cpp:579-619)
         pos = states == 0
-        regions = []
-        i = 0
-        while i < n:
-            if pos[i]:
-                j = i
-                while j + 1 < n and pos[j + 1]:
-                    j += 1
-                regions.append((i + r_start, j + r_start))
-                i = j + 1
-            else:
-                i += 1
-        return regions
+        if not pos.any():
+            return []
+        d = np.diff(pos.astype(np.int8))
+        starts = np.nonzero(d == 1)[0] + 1
+        ends = np.nonzero(d == -1)[0]
+        if pos[0]:
+            starts = np.concatenate([[0], starts])
+        if pos[-1]:
+            ends = np.concatenate([ends, [n - 1]])
+        return [(int(a) + r_start, int(b) + r_start)
+                for a, b in zip(starts, ends)]
 
     def _decode_numpy(self, seg: np.ndarray, P: int, t: np.ndarray) -> np.ndarray:
         n = len(seg)

@@ -18,19 +18,23 @@ from .table import EnrichmentTable
 
 class ChromScores:
     def __init__(self, record: SequenceRecord, table: EnrichmentTable):
+        from ..native import red_score_bases
+
         self.record = record
         self.k = table.k
         n = len(record.codes)
-        scores = np.zeros(n, dtype=np.int64)
         k = table.k
-        for s, e in record.segments:
-            m = e - s + 2 - k
-            if m > 0:
-                idx = kmer_indices_segment(record.codes, s, e, k)
-                scores[s : s + m] = table.scores[idx]
-                scores[s + m : e + 1] = scores[s + m - 1]
-            # segments shorter than k keep zeros (wholesaleValueOf is never
-            # called; the tail-fill loop copies zeros)
+        scores = red_score_bases(record.codes, record.segments, k, table.scores)
+        if scores is None:
+            scores = np.zeros(n, dtype=np.int64)
+            for s, e in record.segments:
+                m = e - s + 2 - k
+                if m > 0:
+                    idx = kmer_indices_segment(record.codes, s, e, k)
+                    scores[s : s + m] = table.scores[idx]
+                    scores[s + m : e + 1] = scores[s + m - 1]
+                # segments shorter than k keep zeros (wholesaleValueOf is
+                # never called; the tail-fill loop copies zeros)
         self.scores = scores
         seg_mask = np.zeros(n, dtype=bool)
         for s, e in record.segments:

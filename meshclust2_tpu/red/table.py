@@ -31,9 +31,12 @@ def c_round(x):
 def _word_counts(records: Sequence[SequenceRecord], k: int) -> np.ndarray:
     """Counts of length-k words over all segments of all records."""
     from ..kmer.counting import kmer_indices
+    from ..native import count_words_raw
 
     counts = np.zeros(4**k, dtype=np.int64)
     for rec in records:
+        if count_words_raw(rec.codes, rec.segments, k, counts):
+            continue
         idx = kmer_indices(rec.codes, rec.segments, k)
         if len(idx):
             counts += np.bincount(idx, minlength=4**k)
@@ -68,8 +71,21 @@ class EnrichmentTable:
                 p = c_round(factor * g / sums).reshape(-1)
             probs.append(p / factor)
 
+        from ..native import red_chain_scores
+
+        scores = red_chain_scores(observed, probs, k, order, float(l), min_obs)
+        if scores is None:
+            scores = self._chain_scores_numpy(observed, probs, k, order, l,
+                                              min_obs)
+        self.scores = scores
+        self.max_value = int(scores.max()) if len(scores) else 0
+
+    @staticmethod
+    def _chain_scores_numpy(observed, probs, k, order, l, min_obs):
+        """Vectorized fallback for the native fused chain (bitwise-identical
+        multiplication order)."""
         d = 4**k
-        y = np.arange(d)
+        y = np.arange(d, dtype=np.int64)
         # the shifted-word quirk: words starting with digit 3 use y // 4
         w = np.where(y >= 3 * (d // 4), y >> 2, y)
 
@@ -92,9 +108,7 @@ class EnrichmentTable:
         chain *= top[window_value(w, results_size, order + 1)]
 
         keep = (observed >= min_obs) & (observed > chain)
-        scores = np.where(keep, c_round(observed - chain), 0.0).astype(np.int64)
-        self.scores = scores
-        self.max_value = int(scores.max()) if len(scores) else 0
+        return np.where(keep, c_round(observed - chain), 0.0).astype(np.int64)
 
     def print_table(self, path: str) -> None:
         """-tbl output: one `digits -> value` row per k-mer."""
