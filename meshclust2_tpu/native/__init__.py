@@ -110,6 +110,9 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.red_score_bases.argtypes = [
         _i8p, _i64p, ctypes.c_int64, ctypes.c_int32, _i64p, _i64p,
     ]
+    lib.red_derivatives.argtypes = [
+        _f64p, ctypes.c_int64, ctypes.c_int64, _f64p, _f64p, _f64p,
+    ]
     _i8p = ctypes.POINTER(ctypes.c_int8)
     lib.viterbi_two_track.argtypes = [
         _i64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_int64, _i8p, _i8p,
@@ -187,6 +190,26 @@ def red_score_bases(codes: np.ndarray, segments: np.ndarray, k: int,
         table.ctypes.data_as(_i64p), out.ctypes.data_as(_i64p),
     )
     return out
+
+
+def red_derivatives(scores: np.ndarray, w: int):
+    """(first, second) rounded boxcar differences, or None when the native
+    library is unavailable."""
+    lib = _get_lib()
+    n = len(scores)
+    if lib is None or n < 2 * w + 1:
+        return None
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    buf = np.empty(n + 1, dtype=np.float64)
+    m = n - 2 * w
+    first = np.empty(m, dtype=np.float64)
+    second = np.empty(m, dtype=np.float64)
+    lib.red_derivatives(
+        scores.ctypes.data_as(_f64p), n, int(w),
+        buf.ctypes.data_as(_f64p), first.ctypes.data_as(_f64p),
+        second.ctypes.data_as(_f64p),
+    )
+    return first, second
 
 
 def set_num_threads(n: int) -> None:

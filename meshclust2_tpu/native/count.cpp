@@ -149,6 +149,29 @@ void red_score_bases(
     }
 }
 
+// Red detector: boxcar first/second differences over window w
+// (DetectorMaxima.cpp:205-266).  Bitwise-identical to the numpy path in
+// red/detector.py:_derivatives: a sequential float64 cumsum (matching
+// np.cumsum's accumulation order) then rounded window differences.
+// first/second have n - 2w entries.
+void red_derivatives(
+    const double* scores, int64_t n, int64_t w,
+    double* cumsum_buf /* [n+1] scratch */, double* first, double* second) {
+    cumsum_buf[0] = 0.0;
+    for (int64_t i = 0; i < n; i++) cumsum_buf[i + 1] = cumsum_buf[i] + scores[i];
+    const int64_t m = n - 2 * w;
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < m; j++) {
+        const int64_t i = j + w;
+        const double left = cumsum_buf[i] - cumsum_buf[i - w];
+        const double right = cumsum_buf[i + w + 1] - cumsum_buf[i + 1];
+        const double f = right - left;
+        const double s = left + right - 2.0 * (double)w * scores[i];
+        first[j] = (f < 0.0) ? __builtin_ceil(f - 0.5) : __builtin_floor(f + 0.5);
+        second[j] = (s < 0.0) ? __builtin_ceil(s - 0.5) : __builtin_floor(s + 0.5);
+    }
+}
+
 // Red stage 1: fused Markov expectation chain + adjusted scores
 // (EnrichmentMarkovView.cpp:134-215).  For every word y of the 4^k table:
 // expected = l * prod(conditionals over digit windows), score =

@@ -76,6 +76,11 @@ class DetectorMaxima:
         n = len(scores)
         if n < 2 * w + 1:
             return np.zeros(0), np.zeros(0)
+        from ..native import red_derivatives
+
+        nat = red_derivatives(scores, w)
+        if nat is not None:
+            return nat
         c = np.concatenate([[0.0], np.cumsum(scores)])
         i = np.arange(w, n - w)
         left = c[i] - c[i - w]
