@@ -156,8 +156,12 @@ def sort_points(ps: PointSet) -> PointSet:
     equal-length tie order matches the reference's unstable introsort."""
     from .native import sort_perm, sort_perm_strings
 
-    ps1 = ps.subset(sort_perm_strings(ps.headers))
-    return ps1.subset(sort_perm(ps1.lengths))
+    p1 = sort_perm_strings(ps.headers)
+    # compose the two permutations so the big column arrays are gathered
+    # once: the second (unstable-introsort) key runs over the header-sorted
+    # length order, exactly as the sequential std::sorts would
+    p2 = sort_perm(np.asarray(ps.lengths)[p1])
+    return ps.subset(p1[p2])
 
 
 def make_scorer(ps: PointSet, model: CompiledModel, device: str):

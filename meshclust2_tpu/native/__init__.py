@@ -511,8 +511,11 @@ class NativeScorer:
         else:
             self._counts = np.ascontiguousarray(ps.counts, dtype=np.uint32)
         self._elem_width = self._counts.itemsize
+        # exact integer sums of squares (< 2^53), accumulated by einsum
+        # without materializing a float64 copy of the whole count matrix
         self._self_dots = np.ascontiguousarray(
-            (ps.counts.astype(np.float64) ** 2).sum(axis=1)
+            np.einsum("ij,ij->i", self._counts, self._counts,
+                      dtype=np.float64)
         )
         self._mags = np.ascontiguousarray(ps.mags, dtype=np.int64)
         self._lengths = np.ascontiguousarray(ps.lengths, dtype=np.int64)

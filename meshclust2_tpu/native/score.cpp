@@ -471,27 +471,48 @@ static inline __m256i prefix8_epi32(__m256i x) {
 static inline uint64_t emd_u8_avx2(const uint8_t* p, const uint8_t* q,
                                    int64_t dim) {
     __m256i base = _mm256_setzero_si256();
-    __m256i acc0 = _mm256_setzero_si256();  // 4 x i64
-    __m256i acc1 = _mm256_setzero_si256();
+    uint64_t emd = 0;
     int64_t i = 0;
-    for (; i + 8 <= dim; i += 8) {
-        __m256i pv = _mm256_cvtepu8_epi32(
-            _mm_loadl_epi64((const __m128i*)(p + i)));
-        __m256i qv = _mm256_cvtepu8_epi32(
-            _mm_loadl_epi64((const __m128i*)(q + i)));
-        __m256i d = _mm256_sub_epi32(pv, qv);
-        __m256i pre = _mm256_add_epi32(prefix8_epi32(d), base);
-        base = _mm256_permutevar8x32_epi32(pre, _mm256_set1_epi32(7));
-        __m256i a = _mm256_abs_epi32(pre);
-        acc0 = _mm256_add_epi64(acc0,
-                                _mm256_cvtepu32_epi64(_mm256_castsi256_si128(a)));
-        acc1 = _mm256_add_epi64(acc1,
-                                _mm256_cvtepu32_epi64(_mm256_extracti128_si256(a, 1)));
+    if (dim <= 8192) {
+        // |prefix| <= 255*dim and there are dim/8 block sums per lane, so
+        // per-lane totals stay under 255*dim^2/8 < 2^31: accumulate abs in
+        // i32 lanes directly (saves the per-iteration widening to i64)
+        __m256i acc = _mm256_setzero_si256();
+        for (; i + 8 <= dim; i += 8) {
+            __m256i pv = _mm256_cvtepu8_epi32(
+                _mm_loadl_epi64((const __m128i*)(p + i)));
+            __m256i qv = _mm256_cvtepu8_epi32(
+                _mm_loadl_epi64((const __m128i*)(q + i)));
+            __m256i d = _mm256_sub_epi32(pv, qv);
+            __m256i pre = _mm256_add_epi32(prefix8_epi32(d), base);
+            base = _mm256_permutevar8x32_epi32(pre, _mm256_set1_epi32(7));
+            acc = _mm256_add_epi32(acc, _mm256_abs_epi32(pre));
+        }
+        int32_t l8[8];
+        _mm256_storeu_si256((__m256i*)l8, acc);
+        for (int j = 0; j < 8; j++) emd += (uint64_t)(uint32_t)l8[j];
+    } else {
+        __m256i acc0 = _mm256_setzero_si256();  // 4 x i64
+        __m256i acc1 = _mm256_setzero_si256();
+        for (; i + 8 <= dim; i += 8) {
+            __m256i pv = _mm256_cvtepu8_epi32(
+                _mm_loadl_epi64((const __m128i*)(p + i)));
+            __m256i qv = _mm256_cvtepu8_epi32(
+                _mm_loadl_epi64((const __m128i*)(q + i)));
+            __m256i d = _mm256_sub_epi32(pv, qv);
+            __m256i pre = _mm256_add_epi32(prefix8_epi32(d), base);
+            base = _mm256_permutevar8x32_epi32(pre, _mm256_set1_epi32(7));
+            __m256i a = _mm256_abs_epi32(pre);
+            acc0 = _mm256_add_epi64(acc0,
+                                    _mm256_cvtepu32_epi64(_mm256_castsi256_si128(a)));
+            acc1 = _mm256_add_epi64(acc1,
+                                    _mm256_cvtepu32_epi64(_mm256_extracti128_si256(a, 1)));
+        }
+        int64_t lanes[4];
+        acc0 = _mm256_add_epi64(acc0, acc1);
+        _mm256_storeu_si256((__m256i*)lanes, acc0);
+        emd = (uint64_t)(lanes[0] + lanes[1] + lanes[2] + lanes[3]);
     }
-    int64_t lanes[4];
-    acc0 = _mm256_add_epi64(acc0, acc1);
-    _mm256_storeu_si256((__m256i*)lanes, acc0);
-    uint64_t emd = (uint64_t)(lanes[0] + lanes[1] + lanes[2] + lanes[3]);
     int32_t prefix = _mm256_extract_epi32(base, 7);
     for (; i < dim; i++) {
         prefix += (int32_t)p[i] - (int32_t)q[i];
