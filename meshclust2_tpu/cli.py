@@ -97,6 +97,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="scoring backend: float64 host oracle or batched device kernels",
     )
     p.add_argument(
+        "--checkpoint",
+        default=None,
+        metavar="FILE",
+        help="write a clustering-state checkpoint after the accumulate "
+        "phase and after every update iteration (the reference has no "
+        "clustering-phase persistence; a crash there loses everything)",
+    )
+    p.add_argument(
+        "--resume-cluster",
+        default=None,
+        metavar="FILE",
+        help="resume clustering from a --checkpoint file (skips the "
+        "accumulate phase; produces byte-identical output)",
+    )
+    p.add_argument(
         "--profile",
         nargs="?",
         const="/tmp/mc2_profile",
@@ -334,7 +349,8 @@ def _main_impl(args, clock) -> int:
         delta=args.delta,
         iterations=args.iterations,
     )
-    clusters = engine.run(clock=clock)
+    clusters = engine.run(clock=clock, checkpoint=args.checkpoint,
+                          resume=args.resume_cluster)
     write_clstr(args.output, engine.to_output(clusters))
     clock.stamp("update")
     clock.stamp("done")

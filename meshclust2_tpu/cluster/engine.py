@@ -368,9 +368,11 @@ class MeanShiftEngine:
             clusters[:] = [c for c in clusters if not c.deleted]
         return num_merge > 0
 
-    def update_phase(self, clusters: List[Cluster]) -> None:
-        num_clusters: List[int] = []
-        for it in range(self.iterations):
+    def update_phase(self, clusters: List[Cluster], checkpoint: Optional[str] = None,
+                     start_it: int = 0,
+                     num_clusters: Optional[List[int]] = None) -> None:
+        num_clusters = list(num_clusters) if num_clusters else []
+        for it in range(start_it, self.iterations):
             if it >= 3 and len(clusters) == num_clusters[it - 3]:
                 break
             new_centers = self._batched_mean_shift_update(clusters, self.delta)
@@ -379,22 +381,50 @@ class MeanShiftEngine:
             self._merge_pass(clusters, self.delta)
             num_clusters.append(len(clusters))
             self.stats.update_iterations += 1
+            if checkpoint:
+                self._save_checkpoint(checkpoint, clusters, "update", it + 1,
+                                      num_clusters)
         new_centers = self._batched_mean_shift_update(clusters, 0)
         for c, nc in zip(clusters, new_centers):
             c.center_row = nc
 
+    def _save_checkpoint(self, path, clusters, phase, iteration, num_clusters):
+        from .checkpoint import dataset_fingerprint, save_checkpoint
+
+        fp = getattr(self, "_fingerprint", None)
+        if fp is None:
+            fp = self._fingerprint = dataset_fingerprint(self.ps)
+        save_checkpoint(path, clusters, phase=phase, iteration=iteration,
+                        num_clusters=num_clusters, fingerprint=fp)
+
     # ---------------- public API ----------------
 
-    def run(self, clock=None) -> List[Cluster]:
-        bv = BVec(self.ps.lengths, self.bin_size)
-        for row in range(self.ps.n):
-            bv.insert(row, int(self.ps.lengths[row]))
-        bv.insert_finalize(self.ps.lengths)
-        clusters = self.accumulate_all(bv)
-        print(f"Number of clusters before update: {len(clusters)}")
+    def run(self, clock=None, checkpoint: Optional[str] = None,
+            resume: Optional[str] = None) -> List[Cluster]:
+        start_it = 0
+        saved_counts: Optional[List[int]] = None
+        if resume:
+            from .checkpoint import dataset_fingerprint, load_checkpoint
+
+            self._fingerprint = dataset_fingerprint(self.ps)
+            clusters, meta = load_checkpoint(resume, self._fingerprint)
+            print(f"Resumed {len(clusters)} clusters from {resume} "
+                  f"(phase {meta['phase']}, iteration {meta['iteration']})")
+            start_it = meta["iteration"]
+            saved_counts = meta["num_clusters"]
+        else:
+            bv = BVec(self.ps.lengths, self.bin_size)
+            for row in range(self.ps.n):
+                bv.insert(row, int(self.ps.lengths[row]))
+            bv.insert_finalize(self.ps.lengths)
+            clusters = self.accumulate_all(bv)
+            print(f"Number of clusters before update: {len(clusters)}")
         if clock is not None:
             clock.stamp("accumulate")
-        self.update_phase(clusters)
+        if checkpoint and not resume:
+            self._save_checkpoint(checkpoint, clusters, "accumulated", 0, [])
+        self.update_phase(clusters, checkpoint=checkpoint, start_it=start_it,
+                          num_clusters=saved_counts)
         return clusters
 
     def to_output(self, clusters: List[Cluster]) -> List[dict]:
