@@ -357,5 +357,9 @@ def _main_impl(args, clock) -> int:
     return 0
 
 
-if __name__ == "__main__":
+def _entry() -> None:  # console-script entry point
     sys.exit(main())
+
+
+if __name__ == "__main__":
+    _entry()

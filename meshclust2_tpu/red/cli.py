@@ -309,5 +309,9 @@ def _raw_records(path: str):
         yield h, seq.upper()
 
 
-if __name__ == "__main__":
+def _entry() -> None:  # console-script entry point
     sys.exit(main())
+
+
+if __name__ == "__main__":
+    _entry()
