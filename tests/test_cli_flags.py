@@ -157,3 +157,46 @@ def test_single_sequence_clusters(tmp_path, fixtures_dir):
     assert rc == 0
     assert ">Cluster 0" in out.read_text()
     assert "*" in out.read_text()
+
+
+def test_delta_sweep_monotone_merging(small, weights, tmp_path):
+    """BASELINE config 5: --delta neighborhood sweep.  A larger delta widens
+    the merge neighborhood, so cluster counts must be non-increasing, and
+    every sweep keeps template purity."""
+    counts = []
+    for delta in (1, 5, 20):
+        out = tmp_path / f"d{delta}.clstr"
+        rc = main(["--recover", weights, "--delta", str(delta),
+                   "--output", str(out), "--device", "host", small])
+        assert rc == 0
+        clusters = parse_clstr(str(out))
+        for c in clusters:
+            templates = {m["header"].split("template_")[1] for m in c}
+            assert len(templates) == 1
+        counts.append(len(clusters))
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_min_max_feat_sweep(fixtures_dir, tmp_path):
+    """BASELINE config 3: --min-feat/--max-feat sweep on the training path
+    (2..2 and 4..6 must both select within bounds and produce clean
+    clusters)."""
+    import pytest
+
+    from meshclust2_tpu.model.weights import load_weights
+
+    small = os.path.join(fixtures_dir, "small.fasta")
+    for lo, hi in ((2, 2), (4, 6)):
+        out = tmp_path / f"mm{lo}{hi}.clstr"
+        w = tmp_path / f"w{lo}{hi}.txt"
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            rc = main(["--id", "0.9", "--kmer", "5", "--mut-type", "single",
+                       "--min", str(lo), "--max", str(hi),
+                       "--dump", str(w), "--device", "host", small])
+        finally:
+            os.chdir(cwd)
+        assert rc == 0
+        model = load_weights(str(w))
+        assert lo <= len(model.classifier.combos) <= hi
