@@ -83,3 +83,45 @@ def test_device_scored_cluster_parity(fixtures_dir, tmp_path):
     ref = parse_clstr(os.path.join(fixtures_dir, "small_ref.clstr"))
     got = parse_clstr(str(out))
     assert cluster_signature(got) == cluster_signature(ref)
+
+
+def test_hybrid_scorer_routing(fixtures_dir, monkeypatch):
+    """--device tpu builds a HybridScorer: small batches go to the native
+    scorer, large ones to the device scorer (threshold via env)."""
+    import os
+
+    import numpy as np
+
+    from meshclust2_tpu.cli import load_sorted_points, make_scorer
+    from meshclust2_tpu.model.classifier import CompiledModel
+    from meshclust2_tpu.model.weights import load_weights
+
+    monkeypatch.setenv("MC2_DEVICE_THRESHOLD", "64")
+    w = load_weights(os.path.join(fixtures_dir, "small_ref_weights.txt"))
+    _, ps = load_sorted_points(
+        [os.path.join(fixtures_dir, "small.fasta")], [], w.k, w.datatype, False
+    )
+    model = CompiledModel(w.classifier)
+    hybrid = make_scorer(ps, model, "tpu")
+    host = make_scorer(ps, model, "host")
+
+    calls = {"small": 0, "large": 0}
+    small_score = hybrid.small.score
+    large_score = hybrid.large.score
+    hybrid.small.score = lambda a, b, **kw: (calls.__setitem__("small", calls["small"] + 1), small_score(a, b, **kw))[1]
+    hybrid.large.score = lambda a, b: (calls.__setitem__("large", calls["large"] + 1), large_score(a, b))[1]
+
+    a_small = np.arange(8)
+    b_small = np.zeros(8, dtype=np.int64)
+    p1, d1 = hybrid.score(a_small, b_small)
+    assert calls == {"small": 1, "large": 0}
+
+    a_large = np.arange(ps.n)
+    b_large = np.zeros(ps.n, dtype=np.int64)
+    p2, d2 = hybrid.score(a_large, b_large)
+    assert calls == {"small": 1, "large": 1}
+
+    # decisions equal the host scorer on both routes
+    ph, dh = host.score(a_large, b_large)
+    np.testing.assert_array_equal(np.floor(p2 + 0.5), np.floor(ph + 0.5))
+    assert int(np.argmax(d2)) == int(np.argmax(dh))
