@@ -76,7 +76,7 @@ def sharded_center_scores(mesh, singles_fn, epilogue, axis: str = "data"):
     replicated center."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @partial(
         shard_map,
@@ -103,7 +103,7 @@ def sharded_mean_update(mesh, axis: str = "data"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @partial(
         shard_map,
@@ -142,7 +142,7 @@ def sharded_glm_solve(mesh, axis: str = "data"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @partial(
         shard_map,
@@ -165,7 +165,7 @@ def sharded_histogram_build(mesh, k: int, axis: str = "data"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     d = 4**k
 

@@ -106,7 +106,7 @@ class MeshScorer:
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         model = self.model
         singles = model.singles
