@@ -138,6 +138,11 @@ def load_sorted_points(
     length order (CRunner.cpp:577-593).
 
     Returns (train_ps_sorted, all_ps_sorted)."""
+    from .utils.progress import Progress
+
+    n_files = len(train_files) + len(notrain_files)
+    prog = Progress(n_files, f"Counting {k}-mers")  # CRunner.cpp:517-519
+
     def load(files, keep):
         sets = []
         for fpath in files:
@@ -147,6 +152,7 @@ def load_sorted_points(
                 recs = read_fasta(fpath, single_file)
             if recs:
                 sets.append(build_point_set(recs, k, datatype, keep_seqs=keep))
+            prog.step()
         return sets
 
     train_sets = load(train_files, keep_seqs_train)
@@ -154,6 +160,7 @@ def load_sorted_points(
     if train_ps is not None:
         train_ps = sort_points(train_ps)
     notrain_sets = load(notrain_files, False)
+    prog.end()
     if notrain_sets:
         rest = concat_point_sets(notrain_sets)
         combined = concat_point_sets([train_ps, rest]) if train_ps is not None else rest
@@ -274,8 +281,15 @@ def _main_impl(args, clock) -> int:
         similarity = recovered.id_cutoff
         datatype = recovered.datatype
 
+    from .utils.progress import Progress
+
     all_files = train_files + notrain_files
-    records_cache = {f: read_fasta(f, args.single_file) for f in all_files}
+    records_cache = {}
+    prog = Progress(len(all_files), "Reading in sequences")  # CRunner.cpp:58
+    for f in all_files:
+        records_cache[f] = read_fasta(f, args.single_file)
+        prog.step()
+    prog.end()
     per_file_records = [records_cache[f] for f in all_files]
 
     if k == -1:

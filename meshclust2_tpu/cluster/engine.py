@@ -181,7 +181,10 @@ class MeanShiftEngine:
         return int(rows[int(np.argmin(d))])
 
     def accumulate_all(self, bv: BVec) -> List[Cluster]:
+        from ..utils.progress import Progress
+
         clusters: List[Cluster] = []
+        prog = Progress(self.ps.n, "Accumulation")  # ClusterFactory.cpp:625
         last = bv.pop()
         while last is not None:
             current = [last]
@@ -195,11 +198,13 @@ class MeanShiftEngine:
                         nxt = best_row
                         bv.erase(*best_pos)
                     clusters.append(Cluster(center_row=last, members=current))
+                    prog.step(len(current))
                     last = nxt
                 else:
                     current.extend(bv.remove_available(front, back))
                     last = self._get_mean(current)
             # loop continues with the next center (or exits when pool empty)
+        prog.end()
         self.stats.clusters_before_update = len(clusters)
         return clusters
 
@@ -371,7 +376,11 @@ class MeanShiftEngine:
     def update_phase(self, clusters: List[Cluster], checkpoint: Optional[str] = None,
                      start_it: int = 0,
                      num_clusters: Optional[List[int]] = None) -> None:
+        from ..utils.progress import Progress
+
         num_clusters = list(num_clusters) if num_clusters else []
+        prog = Progress(self.iterations, "Update")  # ClusterFactory.cpp:634
+        prog.set(start_it)
         for it in range(start_it, self.iterations):
             if it >= 3 and len(clusters) == num_clusters[it - 3]:
                 break
@@ -381,9 +390,11 @@ class MeanShiftEngine:
             self._merge_pass(clusters, self.delta)
             num_clusters.append(len(clusters))
             self.stats.update_iterations += 1
+            prog.step()
             if checkpoint:
                 self._save_checkpoint(checkpoint, clusters, "update", it + 1,
                                       num_clusters)
+        prog.end()
         new_centers = self._batched_mean_shift_update(clusters, 0)
         for c, nc in zip(clusters, new_centers):
             c.center_row = nc

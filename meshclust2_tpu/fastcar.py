@@ -192,6 +192,21 @@ def search(
     return n_pos
 
 
+def mem_used(prefix: str) -> None:
+    """VmSize print, matching the reference's observability surface
+    (FC_Runner.cpp:43-58): ``<prefix>: used memory: <kB> KB``."""
+    result = -1
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmSize:"):
+                    result = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    print(f"{prefix}: used memory: {result} KB")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     if not args.files or not args.query:
@@ -233,6 +248,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         datatype = select_datatype(largest)
     print(f"Using {datatype} histograms")
 
+    mem_used("before do_run")  # FC_Runner.cpp:480
     if recovered is not None:
         model = recovered
     else:
@@ -256,6 +272,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         tmpl_ps = build_point_set([recs[j] for j in idxs], k, datatype, keep_seqs=True)
         from .train.predictor import train_predictor
 
+        mem_used("before predictor training")  # FC_Runner.cpp:539
         model = train_predictor(
             tmpl_ps,
             k=k,
@@ -279,6 +296,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     delim = "!" if args.noformat else "\t"
     n_pos = 0
+    mem_used("before loop")  # FC_Runner.cpp:571
     with open(f"{args.output}0", "w") as out:
         for q_ps in load_chunks(args.query, k, datatype, args.chunk):
             for db_ps in load_chunks(args.files, k, datatype, args.chunk):
@@ -287,6 +305,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                     similarity if similarity > 0 else model.id_cutoff,
                     out, delim, not args.noformat,
                 )
+            mem_used("mid loop")  # FC_Runner.cpp:602
+    mem_used("after loop")  # FC_Runner.cpp:604
     print(f"# of predicted positive: {n_pos}")
     return 0
 

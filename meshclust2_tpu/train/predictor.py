@@ -151,12 +151,17 @@ def _gen_balanced(
     identity: float,
     min_id_pct: float,
     mut_type: int,
+    label: str = "Generating data",
 ) -> List[Tuple[int, str, float]]:
     """Generate, split, sort and downsample one population
     (Predictor.cpp:636-699)."""
+    from ..utils.progress import Progress
+
     pos_buf: List[Tuple[int, str, float]] = []
     neg_buf: List[Tuple[int, str, float]] = []
+    prog = Progress(len(template_rows), label)  # Predictor.cpp:636,673
     for row, seed in zip(template_rows, seeds):
+        prog.step()
         gen = mutate_seqs(ps, row, n_pos, 100 * identity, 100, mut_type, seed)
         gen += mutate_seqs(ps, row, n_neg, min_id_pct, 100 * identity, mut_type, seed)
         tmpl_len = int(ps.lengths[row])
@@ -182,6 +187,7 @@ def _gen_balanced(
     pos_buf = sort_by_dist(pos_buf)
     neg_buf = sort_by_dist(neg_buf)
     kept = remove_uniform(pos_buf, buf_size) + remove_uniform(neg_buf, 2 * buf_size)
+    prog.end()
     return kept
 
 
@@ -260,9 +266,11 @@ def train_predictor(
 
     if mode & PRED_MODE_CLASS:
         training = _gen_balanced(ps, f_tr, train_seeds, n_pos, n_neg, identity,
-                                 min_id_pct, mut_type)
+                                 min_id_pct, mut_type,
+                                 label="Generating training")
         testing = _gen_balanced(ps, f_te, test_seeds, n_pos, n_neg, identity,
-                                min_id_pct, mut_type)
+                                min_id_pct, mut_type,
+                                label="Generating testing")
     else:
         # regression-only data generation: 5 mutants per template over
         # [min_id, 100] (Predictor.cpp:701-708)

@@ -9,8 +9,6 @@ plus a tiny closed-form GLM solve.
 """
 from __future__ import annotations
 
-import heapq
-import itertools
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -122,6 +120,69 @@ def sorted_feat_set(feat_set) -> List[FeatPair]:
     return sorted(feat_set, key=lambda fp: (fp[0], _COMBO_ENUM_ORDER[fp[1]]))
 
 
+class CxxMaxHeap:
+    """Exact libstdc++ std::priority_queue semantics (bits/stl_heap.h
+    __push_heap / __pop_heap / __adjust_heap) with the reference's comparator
+    `a.second < b.second` (BestFirstSelector.cpp:22-28), i.e. keyed on
+    accuracy ONLY.  Tie order therefore matches the single-threaded
+    reference's push order, which is what makes the best-first search
+    terminate quickly when many candidate sets tie: the binary-heap sift
+    pops recently pushed (larger) sets among ties, marching depth-first to
+    the max_feat+1 frontier, where a Python heapq FIFO tie-break degrades
+    into an exhaustive breadth-first sweep of all feature subsets."""
+
+    def __init__(self):
+        self.v: List[Tuple[float, frozenset]] = []
+
+    def __len__(self) -> int:
+        return len(self.v)
+
+    def push(self, acc: float, fs) -> None:
+        v = self.v
+        v.append((acc, fs))
+        hole = len(v) - 1
+        value = v[hole]
+        while hole > 0:  # __push_heap: sift up while comp(parent, value)
+            parent = (hole - 1) // 2
+            if v[parent][0] < value[0]:
+                v[hole] = v[parent]
+                hole = parent
+            else:
+                break
+        v[hole] = value
+
+    def pop(self) -> Tuple[float, frozenset]:
+        v = self.v
+        result = v[0]
+        value = v.pop()  # old last element
+        n = len(v)       # __len after shrink
+        if n == 0:
+            return result
+        # __adjust_heap(first, holeIndex=0, len=n, value)
+        hole = 0
+        second = 0
+        while second < (n - 1) // 2:
+            second = 2 * (second + 1)
+            if v[second][0] < v[second - 1][0]:
+                second -= 1
+            v[hole] = v[second]
+            hole = second
+        if (n & 1) == 0 and second == (n - 2) // 2:
+            second = 2 * (second + 1)
+            v[hole] = v[second - 1]
+            hole = second - 1
+        # __push_heap(first, hole, top=0, value)
+        while hole > 0:
+            parent = (hole - 1) // 2
+            if v[parent][0] < value[0]:
+                v[hole] = v[parent]
+                hole = parent
+            else:
+                break
+        v[hole] = value
+        return result
+
+
 def best_first_select(
     train: SinglesTable,
     test: SinglesTable,
@@ -134,8 +195,7 @@ def best_first_select(
     (BestFirstSelector.cpp:186-250)."""
     open_set: set = set()
     closed: set = set()
-    heap: List[Tuple[float, int, frozenset]] = []
-    counter = itertools.count()
+    heap = CxxMaxHeap()
 
     def children_of(fs: frozenset) -> List[frozenset]:
         out = []
@@ -146,10 +206,17 @@ def best_first_select(
         return out
 
     def evaluate(children: List[frozenset]):
+        from ..utils.progress import Progress
+
+        mx = max((len(s) for s in open_set), default=1)
+        # BestFirstSelector.cpp:165-168
+        prog = Progress(len(children), f"Evaluating features {mx}/{max_feat}")
         for child in children:
             acc, _, _, _ = class_eval(train, test, sorted_feat_set(child))
             open_set.add(child)
-            heapq.heappush(heap, (-acc, next(counter), child))
+            heap.push(acc, child)
+            prog.step()
+        prog.end()
 
     best_set: Optional[frozenset] = None
     best_acc = -100.0
@@ -161,8 +228,7 @@ def best_first_select(
         mx = max(sizes)
         if mx > max_feat or (iteration - last_best_changed >= 3 and mx > min_feat):
             break
-        neg_acc, _, fs = heapq.heappop(heap)
-        acc = -neg_acc
+        acc, fs = heap.pop()
         open_set.discard(fs)
         closed.add(fs)
         if acc > best_acc and min_feat <= len(fs) <= max_feat:

@@ -1,6 +1,7 @@
 """Inventory-completeness components: LCS length, protein encoding,
 Markov-random chromosome, raw histogram (SURVEY §2.2/2.4/2.5 rows that no
 shipped reference binary reaches)."""
+import re
 import numpy as np
 import pytest
 
@@ -91,3 +92,52 @@ def test_raw_histogram_ops():
     assert list(h.points) == [2, 2, 2, 2]
     z = RawHistogram(4)
     assert z.magnitude() == 0 and len(z.points) == 4
+
+
+def test_progress_bar_rendering(capsys, monkeypatch):
+    # Progress rendering matches the reference (Progress.cpp:23-44):
+    # "prefix [===>  ] NN %\r" with barWidth = 70 - (len(prefix)+1),
+    # redrawn only on integer-percent changes, end() completes + newline.
+    from meshclust2_tpu.utils import progress as P
+
+    monkeypatch.setattr(P, "_enabled", lambda: True)
+    p = P.Progress(4, "Update")
+    p.step()
+    p.step(2)
+    p.end()
+    p.end()  # idempotent
+    out = capsys.readouterr().out
+    frames = [f for f in out.split("\r") if f]
+    width = 70 - (len("Update") + 1)
+    assert frames[0].startswith("Update [")
+    assert frames[0].endswith(" 0 %")
+    assert frames[1].endswith(" 25 %")
+    assert frames[2].endswith(" 75 %")
+    assert frames[3].endswith(" 100 %")
+    assert out.endswith("\n")
+    bar0 = frames[0][len("Update ["):frames[0].index("]")]
+    assert len(bar0) == width and bar0[0] == ">"
+    bar_full = frames[3][len("Update ["):frames[3].index("]")]
+    assert bar_full == "=" * width
+    # same-percent redraws are deduped
+    p2 = P.Progress(1000, "Accumulation")
+    p2.step()  # 0 % again -> no redraw
+    out2 = capsys.readouterr().out
+    assert out2.count("\r") == 1
+
+
+def test_progress_disabled_when_not_tty(capsys):
+    from meshclust2_tpu.utils.progress import Progress
+
+    p = Progress(10, "Silent")
+    p.step(5)
+    p.end()
+    assert capsys.readouterr().out == ""
+
+
+def test_fastcar_mem_used_format(capsys):
+    from meshclust2_tpu.fastcar import mem_used
+
+    mem_used("before loop")
+    out = capsys.readouterr().out
+    assert re.match(r"^before loop: used memory: \d+ KB$", out.strip())
