@@ -122,7 +122,16 @@ class MeanShiftEngine:
         self.iterations = iterations
         self.bin_size = bin_size
         self.stats = EngineStats()
-        self._counts_f = ps.counts.astype(np.float64)
+        self.__counts_f: Optional[np.ndarray] = None
+
+    @property
+    def _counts_f(self) -> np.ndarray:
+        # float64 counts are only needed on the numpy fallback paths (the
+        # native argmin kernel reads the integer counts directly); built
+        # lazily to avoid an 8x-width copy of the whole matrix up front
+        if self.__counts_f is None:
+            self.__counts_f = self.ps.counts.astype(np.float64)
+        return self.__counts_f
 
     # ---------------- accumulation phase ----------------
 

@@ -93,7 +93,8 @@ class PointSet:
 
     k: int
     headers: List[str]
-    counts: np.ndarray       # uint32 [N, 4^k] pseudocounted, saturated
+    counts: np.ndarray       # [N, 4^k] pseudocounted, saturated, at the
+                             # datatype's natural width (u8/u16/u32)
     one_mers: np.ndarray     # uint64 [N, 4]
     lengths: np.ndarray      # int64 [N] effective sizes
     mags: np.ndarray         # int64 [N] pseudo-magnitudes (sum of counts)
@@ -142,13 +143,13 @@ def build_point_set(
     lengths = np.zeros(n, dtype=np.int64)
     seqs: Optional[List[Optional[np.ndarray]]] = [] if keep_seqs else None
     headers = []
-    from ..native import count_kmers_batch
+    from ..native import count_kmers_batch, natural_count_dtype
 
     native = count_kmers_batch(records, k, dtype_max) if n else None
     if native is not None:
         counts, one_mers = native
     else:
-        counts = np.zeros((n, d), dtype=np.uint32)
+        counts = np.zeros((n, d), dtype=natural_count_dtype(dtype_max))
         one_mers = np.zeros((n, 4), dtype=np.uint64)
     for i, rec in enumerate(records):
         if native is None:
@@ -217,6 +218,8 @@ def _split_long(segs, seg_length: int = 1_000_000):
 
 def concat_point_sets(sets: Sequence[PointSet]) -> PointSet:
     assert len(sets) > 0
+    if len(sets) == 1:
+        return sets[0]
     k = sets[0].k
     return PointSet(
         k=k,

@@ -93,7 +93,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     _i8p = ctypes.POINTER(ctypes.c_int8)
     lib.count_kmers_batch.argtypes = [
         _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_uint64, _u32p, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint64),
     ]
     lib.largest_pseudocount_batch.argtypes = [
         _i8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32,
@@ -298,24 +299,34 @@ def _pack_records(records):
     )
 
 
+def natural_count_dtype(dtype_max: int):
+    """Narrowest numpy dtype holding the saturated histogram values."""
+    if dtype_max <= 0xFF:
+        return np.uint8
+    if dtype_max <= 0xFFFF:
+        return np.uint16
+    return np.uint32
+
+
 def count_kmers_batch(records, k: int, dtype_max: int):
-    """Native batched histogram build; returns (counts u32 [n, 4^k],
-    one_mers u64 [n, 4]) or None when the native library is unavailable."""
+    """Native batched histogram build; returns (counts [n, 4^k] at the
+    datatype's natural width, one_mers u64 [n, 4]) or None when the native
+    library is unavailable."""
     lib = _get_lib()
     if lib is None:
         return None
     n = len(records)
     d = 4**k
     codes, offsets, segs, seg_offsets = _pack_records(records)
-    counts = np.empty((n, d), dtype=np.uint32)
+    counts = np.empty((n, d), dtype=natural_count_dtype(dtype_max))
     ones = np.empty((n, 4), dtype=np.uint64)
     lib.count_kmers_batch(
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         offsets.ctypes.data_as(_i64p),
         segs.ctypes.data_as(_i64p),
         seg_offsets.ctypes.data_as(_i64p),
-        n, k, min(dtype_max, 2**64 - 1),
-        counts.ctypes.data_as(_u32p),
+        n, k, min(dtype_max, 2**64 - 1), counts.itemsize,
+        counts.ctypes.data_as(ctypes.c_void_p),
         ones.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return counts, ones

@@ -22,44 +22,62 @@ void mc2_set_num_threads(int32_t n) {
 //        sequence i occupying [code_offsets[i], code_offsets[i+1]).
 // segs:  concatenated (start, end) inclusive pairs per sequence,
 //        sequence i owning segs[2*seg_offsets[i] .. 2*seg_offsets[i+1]).
-// out_counts: uint32 [n_seqs, 4^k]; out_onemers: uint64 [n_seqs, 4].
+// out_counts: [n_seqs, 4^k] at elem_width (1, 2 or 4 bytes — the histogram
+//             datatype's natural width, so uint8_t runs stream 4x fewer
+//             bytes through every downstream gather/scan);
+// out_onemers: uint64 [n_seqs, 4].
 void count_kmers_batch(
     const int8_t* codes, const int64_t* code_offsets,
     const int64_t* segs, const int64_t* seg_offsets,
-    int64_t n_seqs, int32_t k, uint64_t dtype_max,
-    uint32_t* out_counts, uint64_t* out_onemers) {
+    int64_t n_seqs, int32_t k, uint64_t dtype_max, int32_t elem_width,
+    void* out_counts, uint64_t* out_onemers) {
     const int64_t dim = (int64_t)1 << (2 * k);
     const uint64_t cap = std::min<uint64_t>(dtype_max, 0xFFFFFFFFull);
-#pragma omp parallel for schedule(dynamic, 8)
-    for (int64_t s = 0; s < n_seqs; s++) {
-        const int8_t* seq = codes + code_offsets[s];
-        uint32_t* hist = out_counts + s * dim;
-        uint64_t* ones = out_onemers + s * 4;
-        // raw counts first
-        std::memset(hist, 0, dim * sizeof(uint32_t));
-        uint64_t one_raw[4] = {0, 0, 0, 0};
-        for (int64_t g = seg_offsets[s]; g < seg_offsets[s + 1]; g++) {
-            int64_t start = segs[2 * g];
-            int64_t end = segs[2 * g + 1];
-            // 1-mers over the whole segment
-            for (int64_t i = start; i <= end; i++) one_raw[seq[i]]++;
-            if (end - start + 1 < k) continue;
-            // rolling base-4 hash, big-endian digits
-            uint64_t h = 0;
-            const uint64_t mask = dim - 1;
-            for (int64_t i = start; i < start + k; i++) h = (h << 2) | (uint64_t)seq[i];
-            hist[h]++;
-            for (int64_t i = start + k; i <= end; i++) {
-                h = ((h << 2) & mask) | (uint64_t)seq[i];
+#pragma omp parallel
+    {
+        // per-thread uint32 scratch accumulator (written back at elem_width)
+        uint32_t* scratch = (elem_width == 4) ? nullptr : new uint32_t[dim];
+#pragma omp for schedule(dynamic, 8)
+        for (int64_t s = 0; s < n_seqs; s++) {
+            const int8_t* seq = codes + code_offsets[s];
+            uint32_t* hist = (elem_width == 4)
+                ? (uint32_t*)out_counts + s * dim : scratch;
+            uint64_t* ones = out_onemers + s * 4;
+            // raw counts first
+            std::memset(hist, 0, dim * sizeof(uint32_t));
+            uint64_t one_raw[4] = {0, 0, 0, 0};
+            for (int64_t g = seg_offsets[s]; g < seg_offsets[s + 1]; g++) {
+                int64_t start = segs[2 * g];
+                int64_t end = segs[2 * g + 1];
+                // 1-mers over the whole segment
+                for (int64_t i = start; i <= end; i++) one_raw[seq[i]]++;
+                if (end - start + 1 < k) continue;
+                // rolling base-4 hash, big-endian digits
+                uint64_t h = 0;
+                const uint64_t mask = dim - 1;
+                for (int64_t i = start; i < start + k; i++) h = (h << 2) | (uint64_t)seq[i];
                 hist[h]++;
+                for (int64_t i = start + k; i <= end; i++) {
+                    h = ((h << 2) & mask) | (uint64_t)seq[i];
+                    hist[h]++;
+                }
             }
+            // +1 pseudocount with saturation (KmerHashTable.cpp:235-256)
+            if (elem_width == 1) {
+                uint8_t* out = (uint8_t*)out_counts + s * dim;
+                for (int64_t i = 0; i < dim; i++)
+                    out[i] = (uint8_t)std::min<uint64_t>((uint64_t)hist[i] + 1, cap);
+            } else if (elem_width == 2) {
+                uint16_t* out = (uint16_t*)out_counts + s * dim;
+                for (int64_t i = 0; i < dim; i++)
+                    out[i] = (uint16_t)std::min<uint64_t>((uint64_t)hist[i] + 1, cap);
+            } else {
+                for (int64_t i = 0; i < dim; i++)
+                    hist[i] = (uint32_t)std::min<uint64_t>((uint64_t)hist[i] + 1, cap);
+            }
+            for (int32_t i = 0; i < 4; i++) ones[i] = one_raw[i] + 1;
         }
-        // +1 pseudocount with saturation (KmerHashTable.cpp:235-256)
-        for (int64_t i = 0; i < dim; i++) {
-            uint64_t v = (uint64_t)hist[i] + 1;
-            hist[i] = (uint32_t)std::min<uint64_t>(v, cap);
-        }
-        for (int32_t i = 0; i < 4; i++) ones[i] = one_raw[i] + 1;
+        delete[] scratch;
     }
 }
 
