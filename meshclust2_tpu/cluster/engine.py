@@ -123,6 +123,16 @@ class MeanShiftEngine:
         self.bin_size = bin_size
         self.stats = EngineStats()
         self.__counts_f: Optional[np.ndarray] = None
+        # same-center scan cache for the accumulate loop: when get_mean
+        # re-centers onto the SAME row (common near convergence), the next
+        # window scan re-scores surviving (row, center) pairs whose values
+        # are already known — reuse them verbatim (exact: scores depend only
+        # on the two points).  ~27% of accumulate pairs on typical pools.
+        self._cache_center = -1
+        self._cache_epoch = 0
+        self._cache_stamp = np.zeros(ps.n, dtype=np.int64)
+        self._cache_prob = np.empty(ps.n, dtype=np.float64)
+        self._cache_dist = np.empty(ps.n, dtype=np.float64)
 
     @property
     def _counts_f(self) -> np.ndarray:
@@ -154,9 +164,22 @@ class MeanShiftEngine:
         if not pass_mask.any():
             return None, None, True, front, back
         sel = np.nonzero(pass_mask)[0]
-        prob, dist = self.scorer.score(rows[sel], np.array([center]))
+        rsel = rows[sel]
+        if (
+            center == self._cache_center
+            and bool((self._cache_stamp[rsel] == self._cache_epoch).all())
+        ):
+            prob = self._cache_prob[rsel]
+            dist = self._cache_dist[rsel]
+        else:
+            prob, dist = self.scorer.score(rsel, np.array([center]))
+            self.stats.pairs_scored += len(sel)
+            self._cache_center = center
+            self._cache_epoch += 1
+            self._cache_stamp[rsel] = self._cache_epoch
+            self._cache_prob[rsel] = prob
+            self._cache_dist[rsel] = dist
         self.stats.windows_scored += 1
-        self.stats.pairs_scored += len(sel)
         pos_mask = c_round(prob) > 0
         is_min = not pos_mask.any()
         # argmax by dist, first strict max wins (sequential pmax,
@@ -263,27 +286,34 @@ class MeanShiftEngine:
         ClusterFactory.cpp:639-641; iterations are independent because they
         read only neighbor *members*, never neighbor centers)."""
         C = len(clusters)
+        # flat member table: cluster j's members occupy flat[moff[j]:moff[j+1]],
+        # so each center's +/-delta neighborhood is one contiguous slice
         member_arrays = [np.asarray(c.members, dtype=np.int64) for c in clusters]
-        a_parts, b_parts, seg_parts = [], [], []
-        for j in range(C):
-            i_begin = max(0, j - delta)
-            i_end = min(j + delta, C - 1)
-            rows = (
-                np.concatenate(member_arrays[i_begin : i_end + 1])
-                if i_end >= i_begin
-                else np.zeros(0, np.int64)
-            )
-            # length window prefilter (Trainer.cpp:125-131)
-            cen_len = int(self.ps.lengths[clusters[j].center_row])
-            lens = self.ps.lengths[rows]
-            lp = (lens >= int(self.sim * cen_len)) & (lens <= int(cen_len / self.sim))
-            rows = rows[lp]
-            a_parts.append(np.full(len(rows), clusters[j].center_row, dtype=np.int64))
-            b_parts.append(rows)
-            seg_parts.append(np.full(len(rows), j, dtype=np.int64))
-        a_arr = np.concatenate(a_parts)
-        b_arr = np.concatenate(b_parts)
-        seg = np.concatenate(seg_parts)
+        flat = np.concatenate(member_arrays) if C else np.zeros(0, np.int64)
+        moff = np.zeros(C + 1, dtype=np.int64)
+        np.cumsum([len(a) for a in member_arrays], out=moff[1:])
+        js = np.arange(C)
+        starts = moff[np.maximum(0, js - delta)]
+        ends = moff[np.minimum(C - 1, js + delta) + 1]
+        per_j = ends - starts
+        total = int(per_j.sum())
+        seg = np.repeat(js, per_j)
+        # flat indices for every (center j, neighborhood member) pair
+        base = np.repeat(starts, per_j)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(per_j) - per_j, per_j
+        )
+        b_arr = flat[base + offs]
+        cen_rows = np.array([c.center_row for c in clusters], dtype=np.int64)
+        cen_lens = self.ps.lengths[cen_rows]
+        # length window prefilter (Trainer.cpp:125-131), uint64-truncated
+        min_lens = (self.sim * cen_lens).astype(np.int64)
+        max_lens = (cen_lens / self.sim).astype(np.int64)
+        lens = self.ps.lengths[b_arr]
+        lp = (lens >= min_lens[seg]) & (lens <= max_lens[seg])
+        b_arr = b_arr[lp]
+        seg = seg[lp]
+        a_arr = cen_rows[seg]
         if len(a_arr):
             prob, _ = self.scorer.score(a_arr, b_arr)
             self.stats.pairs_scored += len(a_arr)
@@ -337,24 +367,24 @@ class MeanShiftEngine:
         C = len(clusters)
         cen_rows = np.array([c.center_row for c in clusters], dtype=np.int64)
         cen_lens = self.ps.lengths[cen_rows]
-        a_parts, seg_parts, j_parts = [], [], []
-        for i in range(C):
-            last_j = min(C - 1, i + delta)
-            if last_j <= i:
-                continue
-            cand = np.arange(i + 1, last_j + 1)
-            min_length = int(cen_lens[i] * self.sim)
-            max_length = int(cen_lens[i] / self.sim)
-            lp = (cen_lens[cand] >= min_length) & (cen_lens[cand] <= max_length)
-            cand = cand[lp]
-            a_parts.append(cen_rows[cand])
-            j_parts.append(cand)
-            seg_parts.append(np.full(len(cand), i, dtype=np.int64))
+        # all (i, j in i+1..i+delta) candidate pairs, built without a loop
+        iis = np.arange(C)
+        per_i = np.minimum(C - 1, iis + delta) - iis  # candidates per center
+        per_i = np.maximum(per_i, 0)
+        total = int(per_i.sum())
+        seg = np.repeat(iis, per_i)
+        jj = seg + 1 + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(per_i) - per_i, per_i)
+        )
+        min_lengths = (cen_lens * self.sim).astype(np.int64)
+        max_lengths = (cen_lens / self.sim).astype(np.int64)
+        lp = (cen_lens[jj] >= min_lengths[seg]) & (cen_lens[jj] <= max_lengths[seg])
+        seg = seg[lp]
+        jj = jj[lp]
+        a_arr = cen_rows[jj]
         num_merge = 0
-        if a_parts:
-            a_arr = np.concatenate(a_parts)
-            seg = np.concatenate(seg_parts)
-            jj = np.concatenate(j_parts)
+        if total:
             if len(a_arr):
                 # order (candidate center j, center i) (Trainer.cpp:93)
                 prob, dist = self.scorer.score(a_arr, cen_rows[seg])
