@@ -130,7 +130,7 @@ def run_reference(exe: str, fasta: str, weights: str, retries: int = 5) -> float
     """The upstream binary segfaults nondeterministically on large pools
     (ASLR-dependent out-of-bounds read in its candidate-window path), so
     retry a few times and take the first clean run."""
-    out = os.path.join(BENCH_DIR, "ref_out.clstr")
+    out = os.path.join(BENCH_DIR, f"ref_out_{N_SEQS}.clstr")
     for attempt in range(retries):
         try:
             p = subprocess.run(
@@ -153,7 +153,7 @@ def run_ours(fasta: str, weights: str, device: str) -> float:
 
     from meshclust2_tpu.cli import main
 
-    out = os.path.join(BENCH_DIR, f"tpu_out_{device}.clstr")
+    out = os.path.join(BENCH_DIR, f"tpu_out_{device}_{N_SEQS}.clstr")
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = main(["--recover", weights, "--output", out, "--device", device, fasta])

@@ -86,16 +86,18 @@ class BVec:
     def _index_of(self, length: int) -> Tuple[int, int]:
         """Bin range whose [begin, next_begin) interval contains `length`
         (bvec.cpp:122-147).  Returns (low, high) with the reference's
-        initialization quirk: low = nbins-1 when nothing matches."""
+        initialization quirk: low = nbins-1 when nothing matches.
+
+        The reference scans all bins; with non-decreasing bounds the match
+        set is always the single index searchsorted-1 (or empty), so this is
+        one binary search — same results, O(log nbins) instead of O(nbins)."""
         nb = len(self.begin_bounds)
-        low, high = nb - 1, 0
-        for i in range(1, nb):
-            if self.begin_bounds[i - 1] <= length < self.begin_bounds[i]:
-                low = min(low, i - 1)
-                high = max(high, i - 1)
-        if length >= self.begin_bounds[nb - 1]:
-            high = max(high, nb - 1)
-        return low, high
+        hi_cnt = int(np.searchsorted(self._bounds_arr, length, side="right"))
+        if hi_cnt == 0:          # below every bound: loop matches nothing
+            return nb - 1, 0
+        if hi_cnt >= nb:         # at/above the last bound: last-bin rule
+            return nb - 1, nb - 1
+        return hi_cnt - 1, hi_cnt - 1
 
     def _inner_index_of(self, length: int, idx: int, want_front: bool, want_back: bool):
         """(bvec.cpp:51-120).  Returns (idx, front, back); front/back None

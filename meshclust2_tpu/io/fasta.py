@@ -220,23 +220,55 @@ def iter_fasta(path: str):
     """Yield (header_line_with_gt, sequence_string) pairs.
 
     CRLF-safe; lines starting with space/tab are skipped
-    (ChromListMaker.cpp:24-48,154)."""
-    with open(path, "r", newline="") as f:
-        header: Optional[str] = None
-        chunks: List[str] = []
-        for raw in f:
-            line = raw.rstrip("\r\n")
-            if line.startswith(">"):
-                if header is not None:
-                    yield header, "".join(chunks)
-                header = line
-                chunks = []
-            elif line[:1] in (" ", "\t"):
-                continue
-            else:
-                chunks.append(line)
-        if header is not None:
-            yield header, "".join(chunks)
+    (ChromListMaker.cpp:24-48,154).
+
+    Fast path: whole-file bytes split on line-start '>' (records are the
+    unit of Python-level work instead of lines).  Inputs with space/tab
+    line starts or bare '\\r' line endings take the per-line path."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if (
+        b"\n " in data
+        or b"\n\t" in data
+        or data[:1] in (b" ", b"\t")
+        or (b"\r" in data and data.count(b"\r") != data.count(b"\r\n"))
+    ):
+        yield from _iter_fasta_lines(data)
+        return
+    if b"\r" in data:
+        data = data.replace(b"\r\n", b"\n")
+    # first '>' at a line start; anything before it is dropped (the line
+    # parser never yields pre-header sequence lines either)
+    start = data.find(b">")
+    while start > 0 and data[start - 1 : start] != b"\n":
+        start = data.find(b">", start + 1)
+    if start == -1:
+        return
+    for part in data[start + 1 :].split(b"\n>"):
+        nl = part.find(b"\n")
+        if nl == -1:
+            header, body = part, b""
+        else:
+            header, body = part[:nl], part[nl + 1 :]
+        yield ">" + header.decode("utf-8"), body.replace(b"\n", b"").decode("utf-8")
+
+
+def _iter_fasta_lines(data: bytes):
+    header: Optional[str] = None
+    chunks: List[str] = []
+    for raw in data.decode("utf-8").split("\n"):
+        line = raw.rstrip("\r")
+        if line.startswith(">"):
+            if header is not None:
+                yield header, "".join(chunks)
+            header = line
+            chunks = []
+        elif line[:1] in (" ", "\t"):
+            continue
+        else:
+            chunks.append(line)
+    if header is not None:
+        yield header, "".join(chunks)
 
 
 def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:

@@ -75,3 +75,30 @@ def test_dump_then_recover(trained, fixtures_dir, tmp_path):
     b = parse_clstr(str(out2))
     sig = lambda cl: sorted(frozenset(m["header"] for m in c) for c in cl)
     assert sig(a) == sig(b)
+
+
+def test_cxx_max_heap_matches_libstdcxx_traces():
+    # CxxMaxHeap must replicate libstdc++ std::priority_queue pop order
+    # exactly (accuracy-only comparator -> tie order is pure heap mechanics).
+    # Fixture: 40 random push/pop traces recorded from a compiled
+    # std::priority_queue<pair<int,double>, vector, Compare{.second<}>.
+    import json
+    import os
+
+    from meshclust2_tpu.train.selectors import CxxMaxHeap
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "cxx_heap_traces.json")
+    traces = json.load(open(path))
+    assert len(traces) == 40
+    for t in traces:
+        h = CxxMaxHeap()
+        pid = 0
+        got = []
+        for op, acc in t["ops"]:
+            if op == 1:
+                h.push(acc, pid)
+                pid += 1
+            elif len(h):
+                got.append(h.pop()[1])
+        assert got == t["pops"]
