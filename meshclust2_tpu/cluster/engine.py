@@ -114,15 +114,20 @@ class _ScoreMemo:
         return prob, dist
 
     def _insert(self, keys, prob, dist):
-        allk = np.concatenate([self.keys, keys])
-        allp = np.concatenate([self.prob, prob])
-        alld = np.concatenate([self.dist, dist])
-        order = np.argsort(allk, kind="stable")
-        allk, allp, alld = allk[order], allp[order], alld[order]
-        keep = np.empty(len(allk), dtype=bool)
-        keep[:1] = True
-        keep[1:] = allk[1:] != allk[:-1]
-        self.keys, self.prob, self.dist = allk[keep], allp[keep], alld[keep]
+        # sort only the new batch, then C-level interleave into the sorted
+        # store (misses are never already present; in-batch dupes deduped)
+        order = np.argsort(keys, kind="stable")
+        k, p, d = keys[order], prob[order], dist[order]
+        if len(k) > 1:
+            keep = np.empty(len(k), dtype=bool)
+            keep[:1] = True
+            keep[1:] = k[1:] != k[:-1]
+            if not keep.all():
+                k, p, d = k[keep], p[keep], d[keep]
+        pos = np.searchsorted(self.keys, k)
+        self.keys = np.insert(self.keys, pos, k)
+        self.prob = np.insert(self.prob, pos, p)
+        self.dist = np.insert(self.dist, pos, d)
 
 
 def c_round(x):
@@ -385,31 +390,47 @@ class MeanShiftEngine:
         ]
         from ..native import mean_shift_argmin_batch
 
-        offsets = np.zeros(C + 1, dtype=np.int64)
-        for j in range(C):
-            offsets[j + 1] = offsets[j] + len(kept_rows_per_j[j])
-        flat = (
-            np.concatenate(kept_rows_per_j)
-            if offsets[-1] > 0
-            else np.zeros(0, np.int64)
-        )
-        native = mean_shift_argmin_batch(self.ps.counts, self.ps.mags, flat, offsets)
-        new_centers = []
+        # closest-to-mean depends only on the kept row set; near convergence
+        # most clusters' kept sets repeat between iterations, so reuse the
+        # previous result when the set is identical (exact)
+        new_centers: List[int] = [0] * C
+        todo: List[int] = []
         for j in range(C):
             good = kept_rows_per_j[j]
-            if len(good) > 0:
+            cl = clusters[j]
+            if len(good) == 0:
+                new_centers[j] = (
+                    int(cl.members[0]) if delta == 0 else cl.center_row
+                )
+                continue
+            prev = getattr(cl, "_ms_kept", None)
+            if prev is not None and np.array_equal(prev, good):
+                new_centers[j] = cl._ms_result
+            else:
+                todo.append(j)
+        if todo:
+            offsets = np.zeros(len(todo) + 1, dtype=np.int64)
+            for t, j in enumerate(todo):
+                offsets[t + 1] = offsets[t] + len(kept_rows_per_j[j])
+            flat = np.concatenate([kept_rows_per_j[j] for j in todo])
+            native = mean_shift_argmin_batch(
+                self.ps.counts, self.ps.mags, flat, offsets
+            )
+            for t, j in enumerate(todo):
+                good = kept_rows_per_j[j]
                 if native is not None:
-                    new_centers.append(int(native[j]))
+                    res = int(native[t])
                 else:
                     top = self._counts_f[good].mean(axis=0)
                     d = distance_d(
-                        self.ps.counts[good], self.ps.mags[good].astype(np.float64), top
+                        self.ps.counts[good],
+                        self.ps.mags[good].astype(np.float64), top,
                     )
-                    new_centers.append(int(good[int(np.argmin(d))]))
-            elif delta == 0:
-                new_centers.append(int(clusters[j].members[0]))
-            else:
-                new_centers.append(clusters[j].center_row)
+                    res = int(good[int(np.argmin(d))])
+                new_centers[j] = res
+                cl = clusters[j]
+                cl._ms_kept = good
+                cl._ms_result = res
         return new_centers
 
     def _merge_pass(self, clusters: List[Cluster], delta: int) -> bool:
