@@ -302,7 +302,8 @@ def _main_impl(args, clock) -> int:
             largest = max(largest, largest_pseudocount(recs, k))
         print(f"Largest count: {largest}")
         datatype = select_datatype(largest)
-    print(f"Using {datatype} histograms")
+    bits = {"uint8_t": 8, "uint16_t": 16, "uint32_t": 32, "uint64_t": 64}[datatype]
+    print(f"Using {bits} bit histograms")  # CRunner.cpp:109-121
 
     train_ps, all_ps = load_sorted_points(
         train_files, notrain_files, k, datatype, args.single_file,
@@ -331,6 +332,7 @@ def _main_impl(args, clock) -> int:
         min_id = args.min_id
         if similarity < 0.6:
             min_id = 0.2  # CRunner.cpp:570-574
+        print("Splitting data")  # Trainer.cpp:174
         pred_model = train_predictor(
             train_ps,
             k=k,

@@ -152,6 +152,8 @@ def _gen_balanced(
     min_id_pct: float,
     mut_type: int,
     label: str = "Generating data",
+    kind: str = "training",
+    verbose: bool = True,
 ) -> List[Tuple[int, str, float]]:
     """Generate, split, sort and downsample one population
     (Predictor.cpp:636-699)."""
@@ -178,6 +180,10 @@ def _gen_balanced(
             else:
                 neg_buf.append((row_, seq_, val_))
     buf_size = min(len(pos_buf), len(neg_buf))
+    if verbose:
+        # Predictor.cpp:647-648,684-685
+        print(f"{kind} +: {len(pos_buf)}")
+        print(f"{kind} -: {len(neg_buf)}")
     from ..native import sort_perm
 
     def sort_by_dist(buf):
@@ -186,8 +192,13 @@ def _gen_balanced(
 
     pos_buf = sort_by_dist(pos_buf)
     neg_buf = sort_by_dist(neg_buf)
-    kept = remove_uniform(pos_buf, buf_size) + remove_uniform(neg_buf, 2 * buf_size)
+    kept_pos = remove_uniform(pos_buf, buf_size)
+    kept_neg = remove_uniform(neg_buf, 2 * buf_size)
+    kept = kept_pos + kept_neg
     prog.end()
+    if verbose:
+        # Predictor.cpp:666,699 (remove_uniform returns the ACTUAL kept count)
+        print(f"{kind.capitalize()} final #: +: {len(kept_pos)} -: {len(kept_neg)}")
     return kept
 
 
@@ -233,6 +244,8 @@ def train_predictor(
     f_te = [int((i + 1) * n / (2 * num_templates)) for i in range(num_templates)]
     if verbose:
         print(f"params: total_samples: {n_samples} num_templates: {num_templates}")
+        # Predictor.cpp:536
+        print(f"# of templates: {num_templates} train: {len(f_tr)} test: {len(f_te)}")
     pts_per_mut = n_samples / num_templates
 
     train_seeds = [rng.next_rand_seed() for _ in f_tr]
@@ -242,6 +255,8 @@ def train_predictor(
     if mode & PRED_MODE_CLASS:
         # calibration from 45 probe mutations of template 0
         # (Predictor.cpp:560-634)
+        if verbose:
+            print("mutating sequences")  # Predictor.cpp:559
         seed = rng.next_rand_seed()
         rnd = LCG(seed)
         mut_rates = identities_for_gen(100 * identity, 100, 15, rnd)
@@ -257,20 +272,30 @@ def train_predictor(
                 P += 1
             else:
                 N += 1
+        if verbose:
+            # Predictor.cpp:614 (note the double space from `" / " << " P: "`)
+            print(f"pts_per_mut: {pts_per_mut:.6g} /  P: {P:.6g} N: {N:.6g}")
         P = max(1.0, P)
         N = max(1.0, N)
-        n_pos = math.ceil(pts_per_mut / (1 + 4 * P / N))
-        n_neg = math.ceil(pts_per_mut / (1 + N / (P * 4)))
+        nd_pos = pts_per_mut / (1 + 4 * P / N)
+        nd_neg = pts_per_mut / (1 + N / (P * 4))
+        n_pos = math.ceil(nd_pos)
+        n_neg = math.ceil(nd_neg)
         if verbose:
-            print(f"found: {int(P)}, {int(N)} -> {n_pos}, {n_neg}")
+            # Predictor.cpp:630-631
+            print(f"found: {int(P)}, {int(N)} -> {nd_pos:.6g}, {nd_neg:.6g} "
+                  f"-> {n_pos}, {n_neg}")
+            print(f"final +: {n_pos} -: {n_neg}")
 
     if mode & PRED_MODE_CLASS:
         training = _gen_balanced(ps, f_tr, train_seeds, n_pos, n_neg, identity,
                                  min_id_pct, mut_type,
-                                 label="Generating training")
+                                 label="Generating training", kind="training",
+                                 verbose=verbose)
         testing = _gen_balanced(ps, f_te, test_seeds, n_pos, n_neg, identity,
                                 min_id_pct, mut_type,
-                                label="Generating testing")
+                                label="Generating testing", kind="testing",
+                                verbose=verbose)
     else:
         # regression-only data generation: 5 mutants per template over
         # [min_id, 100] (Predictor.cpp:701-708)
@@ -280,9 +305,6 @@ def train_predictor(
         testing = []
         for row, seed in zip(f_te, test_seeds):
             testing += mutate_seqs(ps, row, 5, min_id_pct, 100, mut_type, seed)
-    if verbose:
-        print(f"Training size: {len(training)}")
-        print(f"Testing size: {len(testing)}")
     if clock is not None:
         clock.stamp("data_generation")
 
@@ -315,6 +337,11 @@ def train_predictor(
         feat_set, weights = S.greedy_select_regression(trr, ter, possible, max_feat,
                                                        verbose=verbose)
         model.regressor = _to_block(feat_set, weights, singles, mins, maxs)
+    if verbose:
+        # Predictor.cpp:938-947 (sizes after selection, then a blank line)
+        print(f"Training size: {len(training)}")
+        print(f"Testing size: {len(testing)}")
+        print()
     if clock is not None:
         clock.stamp("GLM")
     return model

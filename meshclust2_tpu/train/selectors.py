@@ -120,6 +120,23 @@ def sorted_feat_set(feat_set) -> List[FeatPair]:
     return sorted(feat_set, key=lambda fp: (fp[0], _COMBO_ENUM_ORDER[fp[1]]))
 
 
+def feat_pair_name(fp: FeatPair) -> str:
+    """Human-readable combo name, matching Feature::feat_names
+    (Feature.cpp:271-299): single names in ascending flag order with ^2
+    per the combo kind."""
+    flags_, kind = fp
+    names = [F.FEAT_NAMES[s] for s in F.split_flags(flags_)]
+    if kind == F.COMBO_XY:
+        return " * ".join(names)
+    if kind == F.COMBO_X2Y2:
+        return " * ".join(n + "^2" for n in names)
+    if kind == F.COMBO_XY2 and len(names) == 2:
+        return f"{names[0]} * {names[1]}^2"
+    if kind == F.COMBO_X2Y and len(names) == 2:
+        return f"{names[0]}^2 * {names[1]}"
+    return " * ".join(names)
+
+
 class CxxMaxHeap:
     """Exact libstdc++ std::priority_queue semantics (bits/stl_heap.h
     __push_heap / __pop_heap / __adjust_heap) with the reference's comparator
@@ -193,6 +210,8 @@ def best_first_select(
 ) -> Tuple[List[FeatPair], np.ndarray, Tuple, Tuple]:
     """Best-first search over feature-pair sets
     (BestFirstSelector.cpp:186-250)."""
+    if verbose:
+        print("Calculating all features")  # BestFirstSelector.cpp:197
     open_set: set = set()
     closed: set = set()
     heap = CxxMaxHeap()
@@ -244,6 +263,9 @@ def best_first_select(
     if verbose:
         print(f"Training ACC: {tr_m[0]:g} {tr_m[1]:g} {tr_m[2]:g}")
         print(f"Testing ACC: {te_m[0]:g} {te_m[1]:g} {te_m[2]:g}")
+        print("Features: ")  # BestFirstSelector.cpp:245-248
+        for fp in final:
+            print(f"\t{feat_pair_name(fp)}")
     return final, w, tr_m, te_m
 
 
