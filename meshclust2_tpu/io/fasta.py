@@ -286,6 +286,14 @@ def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:
     return encode_records(records)
 
 
+class RecordList(list):
+    """A list of SequenceRecords whose code/segment arrays are views into
+    one encoded batch blob; `batch` carries (codes, offsets, segs,
+    seg_offsets) so downstream native calls can skip re-packing."""
+
+    batch = None
+
+
 def encode_records(records) -> List[SequenceRecord]:
     """Batch-encode (header, sequence) pairs, using the native encoder when
     available (exact same segmentation semantics as encode_sequence)."""
@@ -296,7 +304,8 @@ def encode_records(records) -> List[SequenceRecord]:
     if batch is None:
         return [encode_sequence(h, s) for h, s in records]
     codes, offsets, segs, seg_offsets, meta = batch
-    out = []
+    out = RecordList()
+    out.batch = (codes, offsets, segs, seg_offsets)
     for i, (h, _) in enumerate(records):
         rec_codes = codes[offsets[i] : offsets[i + 1]]
         rec_segs = segs[2 * seg_offsets[i] : 2 * seg_offsets[i + 1]].reshape(-1, 2)

@@ -272,6 +272,13 @@ def sort_perm_strings(strings: List[str]) -> np.ndarray:
 
 
 def _pack_records(records):
+    # encode_records returns its records as views into one encoded batch
+    # blob and hands the blob along (io/fasta.py:RecordList); reuse it
+    # instead of re-concatenating 100k per-record views.
+    batch = getattr(records, "batch", None)
+    if batch is not None and len(batch[1]) == len(records) + 1:
+        if len(records) == 0 or records[0].codes.base is batch[0]:
+            return batch
     offsets = np.zeros(len(records) + 1, dtype=np.int64)
     seg_offsets = np.zeros(len(records) + 1, dtype=np.int64)
     for i, r in enumerate(records):
