@@ -403,11 +403,24 @@ class DeviceFeatureEngine:
 
         return pair_singles
 
+    # largest single device batch: bounds the [B, D] float32 gather
+    # intermediates (131072 x 65536 x 4B = 32 GB worst case at k=8, but
+    # 0.5 GB at the common k=5) and caps compile-shape count
+    MAX_DEVICE_BATCH = 1 << 17
+
     def singles_batch(self, a_rows: np.ndarray, b_rows: np.ndarray) -> np.ndarray:
         """Raw singles [B, S] float32 (numpy) for pairs (a_rows[i], b_rows[i]),
-        padded internally to a bucket size."""
+        padded internally to a bucket size and chunked to bound device
+        memory."""
         jnp = self.jnp
         n = len(a_rows)
+        cap = self.MAX_DEVICE_BATCH
+        if n > cap:
+            parts = [
+                self.singles_batch(a_rows[s : s + cap], b_rows[s : s + cap])
+                for s in range(0, n, cap)
+            ]
+            return np.concatenate(parts, axis=0)
         m = _bucket(n)
         a_pad = np.zeros(m, dtype=np.int32)
         b_pad = np.zeros(m, dtype=np.int32)

@@ -287,7 +287,8 @@ def greedy_select_regression(
         Xte = design_matrix(test, feat_set)
         # mean |err| accumulated like FeatureSelector.cpp:76-88
         err = np.abs(Xte @ w - test.values).sum() / len(test.values)
-        return err, w
+        tr_err = np.abs(X @ w - train.values).sum() / len(train.values)
+        return err, w, tr_err
 
     selected: List[FeatPair] = []
     used: set = set()
@@ -298,7 +299,7 @@ def greedy_select_regression(
         for fp in possible:
             if fp in used:
                 continue
-            err, _ = regr_eval(selected + [fp])
+            err, _, _ = regr_eval(selected + [fp])
             if err < best_err:
                 best_err = err
                 best_fp = fp
@@ -306,9 +307,16 @@ def greedy_select_regression(
             selected.append(best_fp)
             used.add(best_fp)
             abs_best = best_err
-    err, w = regr_eval(selected)
+    err, w, tr_err = regr_eval(selected)
     if verbose:
+        # GreedySelector.cpp:59-73
+        print(f"Training Mean Error: {tr_err:g}")
         print(f"Testing Mean Error: {err:g}")
+        print("Features: ")
+        for fp in selected:
+            print(f"\t{feat_pair_name(fp)}")
+        for wv in np.asarray(w).ravel():
+            print(f"weight: {wv:g} ")
     return selected, w
 
 
