@@ -153,7 +153,12 @@ def build_point_set(
         one_mers = np.zeros((n, 4), dtype=np.uint64)
     for i, rec in enumerate(records):
         if native is None:
-            counts[i] = count_histogram(rec, k, dtype_max)
+            # saturate at the storage width too ("uint64_t" histograms are
+            # stored u32; a per-sequence k-mer count above 2^32-1 would need
+            # a >4 Gbp run of one k-mer, but saturating beats wrapping)
+            counts[i] = np.minimum(
+                count_histogram(rec, k, dtype_max), np.iinfo(counts.dtype).max
+            )
             one_mers[i] = count_1mers(rec)
         lengths[i] = rec.effective_size
         headers.append(rec.header)

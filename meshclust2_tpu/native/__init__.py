@@ -129,6 +129,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
 
 def _get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
+    if os.environ.get("MC2_NO_NATIVE"):  # force the numpy fallback paths
+        return None
     if not _lib_tried:
         _lib = _build_lib()
         _lib_tried = True
