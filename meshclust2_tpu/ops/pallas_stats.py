@@ -29,31 +29,42 @@ N_STATS = 3
 
 
 @functools.lru_cache(maxsize=16)
-def _build(tile_b: int, d: int, interpret: bool):
+def _build(tile_b: int, d: int, interpret: bool, in_dtype: str = "int32"):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    EMD_BLK = 128 if d % 128 == 0 and d >= 128 else d
+
     def kernel(h_ref, c_ref, out_ref):
-        h = h_ref[:]                        # [TILE_B, D] int32
-        c = c_ref[:]                        # [1, D] int32
+        # narrow inputs (uint8/uint16 histograms) stream proportionally less
+        # HBM; widen to int32 in VMEM for the exact integer reductions
+        h = h_ref[:].astype(jnp.int32)      # [TILE_B, D]
+        c = c_ref[:].astype(jnp.int32)      # [1, D]
         summin = jnp.minimum(h, c).sum(axis=1)
         dot = (h * c).sum(axis=1)
-        # EMD prefix scan as ONE triangular matmul on the MXU (cumsum has no
-        # Pallas TPU lowering): prefix_j = sum_{i<=j} diff_i = diff @ TRI.
-        # float32 is exact here: |prefix| <= pseudo-magnitude < 2^24.
+        # EMD prefix scan on the MXU (cumsum has no Pallas TPU lowering):
+        # prefix_j = sum_{i<=j} diff_i.  Done blockwise — a [BLK, BLK]
+        # triangular matmul per block plus a scalar carry — which is D/BLK
+        # times fewer FLOPs than the single [D, D] triangular matmul.
+        # float32 is exact throughout: |prefix| <= pseudo-magnitude < 2^24.
         diff = (h - c).astype(jnp.float32)
         tri = (
-            jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
-            <= jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (EMD_BLK, EMD_BLK), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (EMD_BLK, EMD_BLK), 1)
         ).astype(jnp.float32)
-        pref = jax.lax.dot_general(
-            diff, tri,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        emd = jnp.abs(pref).sum(axis=1).astype(jnp.int32)
-        out_ref[:] = jnp.stack([summin, dot, emd], axis=1)
+        emd = jnp.zeros((h.shape[0],), jnp.float32)
+        carry = jnp.zeros((h.shape[0], 1), jnp.float32)
+        for blk in range(d // EMD_BLK):
+            dblk = diff[:, blk * EMD_BLK : (blk + 1) * EMD_BLK]
+            pref = jax.lax.dot_general(
+                dblk, tri,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + carry
+            emd = emd + jnp.abs(pref).sum(axis=1)
+            carry = pref[:, -1:]
+        out_ref[:] = jnp.stack([summin, dot, emd.astype(jnp.int32)], axis=1)
 
     try:
         from jax.experimental.pallas import tpu as pltpu
@@ -96,7 +107,7 @@ def _build(tile_b: int, d: int, interpret: bool):
 
 
 def center_block_stats(h_block: np.ndarray, center: np.ndarray,
-                       tile_b: int = 256, interpret: bool | None = None):
+                       tile_b: int = 1024, interpret: bool | None = None):
     """[B, D] int candidate block vs [D] center -> [B, 3] int32 stats.
 
     B is padded to a multiple of tile_b internally.  interpret=None
@@ -109,11 +120,14 @@ def center_block_stats(h_block: np.ndarray, center: np.ndarray,
         interpret = jax.devices()[0].platform == "cpu"
     b, d = h_block.shape
     pad = (-b) % tile_b
-    h = jnp.asarray(np.ascontiguousarray(h_block), dtype=jnp.int32)
+    # uint8 histograms stream 4x less HBM through the kernel; anything wider
+    # goes through int32 (the exactness envelope of the int32 reductions)
+    dt = jnp.uint8 if np.dtype(h_block.dtype) == np.uint8 else jnp.int32
+    h = jnp.asarray(np.ascontiguousarray(h_block), dtype=dt)
     if pad:
-        h = jnp.concatenate([h, jnp.zeros((pad, d), jnp.int32)], axis=0)
-    c = jnp.asarray(center, dtype=jnp.int32)
-    fn = _build(tile_b, d, bool(interpret))
+        h = jnp.concatenate([h, jnp.zeros((pad, d), dt)], axis=0)
+    c = jnp.asarray(center, dtype=dt)
+    fn = _build(tile_b, d, bool(interpret), np.dtype(h.dtype).name)
     out = fn(h, c)
     return np.asarray(out)[:b]
 
