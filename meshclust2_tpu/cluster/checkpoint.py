@@ -19,13 +19,18 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
-def dataset_fingerprint(ps) -> str:
-    """Cheap stable fingerprint of the point set a checkpoint belongs to."""
+def dataset_fingerprint(ps, params: Optional[tuple] = None) -> str:
+    """Cheap stable fingerprint of the point set (and, when given, the
+    clustering parameters) a checkpoint belongs to.  Including the
+    parameters refuses resumes under a different --id/--delta/--iterations/
+    bin size, which would silently mix two configurations."""
     h = hashlib.sha256()
     h.update(np.int64(ps.n).tobytes())
     h.update(np.int64(ps.k).tobytes())
     h.update(np.ascontiguousarray(ps.lengths, dtype=np.int64).tobytes())
     h.update(np.ascontiguousarray(ps.ids, dtype=np.int64).tobytes())
+    if params is not None:
+        h.update(repr(params).encode())
     return h.hexdigest()[:32]
 
 
@@ -65,7 +70,8 @@ def load_checkpoint(path: str, fingerprint: str) -> Tuple[list, dict]:
         saved_fp = bytes(z["fingerprint"]).decode()
         if saved_fp != fingerprint:
             raise ValueError(
-                "checkpoint was written for a different dataset "
+                "checkpoint was written for a different dataset or "
+                "clustering parameters "
                 f"(fingerprint {saved_fp} != {fingerprint})"
             )
         centers = z["centers"]

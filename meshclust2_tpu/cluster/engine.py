@@ -82,6 +82,7 @@ class _ScoreMemo:
     def __init__(self, scorer, n: int):
         self.scorer = scorer
         self.n = n
+        self.scored = 0  # pairs that actually reached the wrapped scorer
         self.keys = np.empty(0, dtype=np.int64)
         self.prob = np.empty(0, dtype=np.float64)
         self.dist = np.empty(0, dtype=np.float64)
@@ -97,6 +98,7 @@ class _ScoreMemo:
         m = len(self.keys)
         if m == 0:
             prob, dist = self.scorer.score(a, b)
+            self.scored += len(keys)
             self._insert(keys, prob, dist)
             return prob, dist
         pos = np.minimum(np.searchsorted(self.keys, keys), m - 1)
@@ -108,6 +110,7 @@ class _ScoreMemo:
         miss = ~hit
         if miss.any():
             p, d = self.scorer.score(a[miss], b[miss])
+            self.scored += int(miss.sum())
             prob[miss] = p
             dist[miss] = d
             self._insert(keys[miss], p, d)
@@ -131,11 +134,14 @@ class _ScoreMemo:
 
 
 def c_round(x):
-    """C round(): half away from zero (used on probabilities and means)."""
+    """floor(x + 0.5): equal to C round() for the non-negative values it is
+    applied to here (probabilities, means); they differ on negative halves
+    (floor(-0.5+0.5)=0 vs C round(-0.5)=-1), so do not reuse on signed
+    quantities."""
     return np.floor(np.asarray(x, dtype=np.float64) + 0.5)
 
 
-def distance_d(counts_rows: np.ndarray, mags_rows: np.ndarray, top: np.ndarray) -> np.ndarray:
+def distance_d(counts_rows: np.ndarray, top: np.ndarray) -> np.ndarray:
     """DivergencePoint::distance_d against a double-valued mean histogram
     (DivergencePoint.cpp:54-66): 10000*(1-frac^2) with
     dist = sum 2*min(p_i, round(top_i)) and mag accumulated into a uint64_t,
@@ -218,9 +224,9 @@ class MeanShiftEngine:
         if len(rows) == 0:
             return None, None, True, front, back
         lens = self.ps.lengths[rows]
-        min_len = int(length * self.sim)
-        max_len = int(length / self.sim)
-        pass_mask = (lens >= min_len) & (lens <= max_len)
+        # same uint64-truncated bounds as the bin-range query above
+        # (Trainer.cpp:39-47 recomputes them per candidate)
+        pass_mask = (lens >= begin_len) & (lens <= end_len)
         if not pass_mask.any():
             return None, None, True, front, back
         sel = np.nonzero(pass_mask)[0]
@@ -269,7 +275,7 @@ class MeanShiftEngine:
         if res is not None:
             return int(res[0])
         top = self._counts_f[rows].mean(axis=0)
-        d = distance_d(self.ps.counts[rows], self.ps.mags[rows].astype(np.float64), top)
+        d = distance_d(self.ps.counts[rows], top)
         return int(rows[int(np.argmin(d))])
 
     def accumulate_all(self, bv: BVec) -> List[Cluster]:
@@ -301,44 +307,6 @@ class MeanShiftEngine:
         return clusters
 
     # ---------------- update/merge phase ----------------
-
-    def _filter_positive(self, center: int, rows: np.ndarray) -> np.ndarray:
-        """Trainer::filter (Trainer.cpp:122-141): keep rows that pass the
-        length window AND classify positive with argument order
-        (center, member)."""
-        if len(rows) == 0:
-            return rows
-        cen_len = int(self.ps.lengths[center])
-        min_len = int(self.sim * cen_len)
-        max_len = int(cen_len / self.sim)
-        lens = self.ps.lengths[rows]
-        length_pass = (lens >= min_len) & (lens <= max_len)
-        keep = np.zeros(len(rows), dtype=bool)
-        if length_pass.any():
-            sel = np.nonzero(length_pass)[0]
-            prob, _ = self.scorer.score(np.array([center]), rows[sel])
-            self.stats.pairs_scored += len(sel)
-            keep[sel] = c_round(prob) != 0
-        return rows[keep]
-
-    def _mean_shift_update(self, clusters: List[Cluster], j: int, delta: int) -> int:
-        """One center re-estimation (ClusterFactory.cpp:287-335).  Returns the
-        new center row."""
-        center = clusters[j].center_row
-        i_begin = max(0, j - delta)
-        i_end = min(j + delta, len(clusters) - 1)
-        rows = np.array(
-            [r for i in range(i_begin, i_end + 1) for r in clusters[i].members],
-            dtype=np.int64,
-        )
-        good = self._filter_positive(center, rows)
-        if len(good) > 0:
-            top = self._counts_f[good].mean(axis=0)
-            d = distance_d(self.ps.counts[good], self.ps.mags[good].astype(np.float64), top)
-            return int(good[int(np.argmin(d))])
-        elif delta == 0:
-            return clusters[j].members[0]
-        return center
 
     def _batched_mean_shift_update(self, clusters: List[Cluster], delta: int) -> List[int]:
         """All centers' re-estimations of one iteration in a single scoring
@@ -375,8 +343,9 @@ class MeanShiftEngine:
         seg = seg[lp]
         a_arr = cen_rows[seg]
         if len(a_arr):
+            # (pairs_scored is credited by update_phase from the memo's
+            # actual-miss count, so cache hits are never double-counted)
             prob, _ = self.scorer.score(a_arr, b_arr)
-            self.stats.pairs_scored += len(a_arr)
             keep = c_round(prob) != 0
         else:
             keep = np.zeros(0, bool)
@@ -422,10 +391,7 @@ class MeanShiftEngine:
                     res = int(native[t])
                 else:
                     top = self._counts_f[good].mean(axis=0)
-                    d = distance_d(
-                        self.ps.counts[good],
-                        self.ps.mags[good].astype(np.float64), top,
-                    )
+                    d = distance_d(self.ps.counts[good], top)
                     res = int(good[int(np.argmin(d))])
                 new_centers[j] = res
                 cl = clusters[j]
@@ -460,30 +426,28 @@ class MeanShiftEngine:
         jj = jj[lp]
         a_arr = cen_rows[jj]
         num_merge = 0
-        if total:
-            if len(a_arr):
-                # order (candidate center j, center i) (Trainer.cpp:93)
-                prob, dist = self.scorer.score(a_arr, cen_rows[seg])
-                self.stats.pairs_scored += len(a_arr)
-                res1 = c_round(prob) == 1
-                bounds = np.searchsorted(seg, np.arange(C + 1))
-                for i in range(C):
-                    lo, hi = bounds[i], bounds[i + 1]
-                    if lo == hi:
-                        continue
-                    m = res1[lo:hi]
-                    if not m.any():
-                        continue
-                    d = dist[lo:hi][m]
-                    cj = jj[lo:hi][m]
-                    # ties: later candidate wins (best.second > dist keeps
-                    # best only when strictly greater, Trainer.cpp:104)
-                    best_k = len(d) - 1 - int(np.argmax(d[::-1]))
-                    ret = int(cj[best_k])
-                    if ret > i:
-                        num_merge += 1
-                        clusters[ret].members.extend(clusters[i].members)
-                        clusters[i].deleted = True
+        if len(a_arr):
+            # order (candidate center j, center i) (Trainer.cpp:93)
+            prob, dist = self.scorer.score(a_arr, cen_rows[seg])
+            res1 = c_round(prob) == 1
+            bounds = np.searchsorted(seg, np.arange(C + 1))
+            for i in range(C):
+                lo, hi = bounds[i], bounds[i + 1]
+                if lo == hi:
+                    continue
+                m = res1[lo:hi]
+                if not m.any():
+                    continue
+                d = dist[lo:hi][m]
+                cj = jj[lo:hi][m]
+                # ties: later candidate wins (best.second > dist keeps
+                # best only when strictly greater, Trainer.cpp:104)
+                best_k = len(d) - 1 - int(np.argmax(d[::-1]))
+                # every candidate satisfies j > i by construction
+                ret = int(cj[best_k])
+                num_merge += 1
+                clusters[ret].members.extend(clusters[i].members)
+                clusters[i].deleted = True
         if num_merge:
             clusters[:] = [c for c in clusters if not c.deleted]
         return num_merge > 0
@@ -497,7 +461,8 @@ class MeanShiftEngine:
         prog = Progress(self.iterations, "Update")  # ClusterFactory.cpp:634
         prog.set(start_it)
         saved_scorer = self.scorer
-        self.scorer = _ScoreMemo(saved_scorer, self.ps.n)
+        memo = _ScoreMemo(saved_scorer, self.ps.n)
+        self.scorer = memo
         try:
             for it in range(start_it, self.iterations):
                 if it >= 3 and len(clusters) == num_clusters[it - 3]:
@@ -517,16 +482,27 @@ class MeanShiftEngine:
             for c, nc in zip(clusters, new_centers):
                 c.center_row = nc
         finally:
+            # pairs_scored = pairs that actually reached the wrapped scorer
+            # (same semantics as the accumulate phase's cache-miss counting)
+            self.stats.pairs_scored += memo.scored
             self.scorer = saved_scorer
 
-    def _save_checkpoint(self, path, clusters, phase, iteration, num_clusters):
-        from .checkpoint import dataset_fingerprint, save_checkpoint
+    def _run_fingerprint(self) -> str:
+        from .checkpoint import dataset_fingerprint
 
         fp = getattr(self, "_fingerprint", None)
         if fp is None:
-            fp = self._fingerprint = dataset_fingerprint(self.ps)
+            fp = self._fingerprint = dataset_fingerprint(
+                self.ps, (self.sim, self.delta, self.iterations, self.bin_size)
+            )
+        return fp
+
+    def _save_checkpoint(self, path, clusters, phase, iteration, num_clusters):
+        from .checkpoint import save_checkpoint
+
         save_checkpoint(path, clusters, phase=phase, iteration=iteration,
-                        num_clusters=num_clusters, fingerprint=fp)
+                        num_clusters=num_clusters,
+                        fingerprint=self._run_fingerprint())
 
     # ---------------- public API ----------------
 
@@ -535,14 +511,14 @@ class MeanShiftEngine:
         start_it = 0
         saved_counts: Optional[List[int]] = None
         if resume:
-            from .checkpoint import dataset_fingerprint, load_checkpoint
+            from .checkpoint import load_checkpoint
 
-            self._fingerprint = dataset_fingerprint(self.ps)
-            clusters, meta = load_checkpoint(resume, self._fingerprint)
+            clusters, meta = load_checkpoint(resume, self._run_fingerprint())
             print(f"Resumed {len(clusters)} clusters from {resume} "
                   f"(phase {meta['phase']}, iteration {meta['iteration']})")
             start_it = meta["iteration"]
             saved_counts = meta["num_clusters"]
+            self.stats.clusters_before_update = len(clusters)
         else:
             bv = BVec(self.ps.lengths, self.bin_size)
             for row in range(self.ps.n):

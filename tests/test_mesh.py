@@ -76,7 +76,7 @@ def test_sharded_mean_update_matches_host(mesh8):
     for c in range(C):
         members = np.nonzero(mask[c] > 0)[0]
         top = H[members].mean(axis=0).astype(np.float64)
-        dvals = distance_d(H[members].astype(np.uint32), mags[members].astype(np.float64), top)
+        dvals = distance_d(H[members].astype(np.uint32), top)
         want_min = dvals.min()
         np.testing.assert_allclose(gmin[c], want_min, rtol=1e-5)
 
