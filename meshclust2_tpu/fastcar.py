@@ -129,54 +129,72 @@ def search(
 
     order = sort_perm(db_ps.lengths.astype(np.uint64))
     db = db_ps.subset(order)
-    a_parts, q_parts = [], []
-    for qi in range(q_ps.n):
-        q_len = int(q_ps.lengths[qi])
-        begin_length = int(q_len * similarity)
-        end_length = int(q_len / similarity)
-        start = bin_search(db.lengths, begin_length)
-        end = start
-        while end < db.n and int(db.lengths[end]) <= end_length:
-            end += 1
-        idxs = np.arange(start, end, dtype=np.int64)
-        a_parts.append(idxs)
-        q_parts.append(np.full(len(idxs), qi, dtype=np.int64))
-    if not a_parts:
+    # per-query windows: quirky bin_search for the start (reference
+    # semantics), one vectorized searchsorted for the ends (db.lengths is
+    # ascending, so the reference's linear `while lengths[end] <= end_length`
+    # walk lands on the same index)
+    q_lens = q_ps.lengths
+    end_lengths = (q_lens / similarity).astype(np.int64)
+    starts = np.array(
+        [bin_search(db.lengths, int(l * similarity)) for l in q_lens],
+        dtype=np.int64,
+    )
+    ends = np.maximum(
+        starts, np.searchsorted(db.lengths, end_lengths, side="right")
+    )
+    per_q = ends - starts
+    total = int(per_q.sum())
+    if total == 0:
         return 0
-    a_arr = np.concatenate(a_parts)
-    q_arr = np.concatenate(q_parts)
-    if len(a_arr) == 0:
-        return 0
+    q_arr = np.repeat(np.arange(q_ps.n, dtype=np.int64), per_q)
+    a_arr = np.repeat(starts, per_q) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(per_q) - per_q, per_q)
+    )
     # one combined point set (db rows first, queries after) lets the fused
-    # native scorer stream both the classifier gate and the regression head
+    # native scorer stream both the classifier gate and the regression head;
+    # the numpy fallback goes through the chunked HostScorer instead of
+    # materializing [P, 4^k] float64 sides for the whole block
     from .kmer.counting import concat_point_sets
     from .native import NativeScorer
 
-    combined = concat_point_sets([db, q_ps])
+    native_ok = (model_c is None or NativeScorer.supports(model_c)) and (
+        model_r is None or NativeScorer.supports(model_r)
+    )
+    combined = concat_point_sets([db, q_ps]) if native_ok else None
     q_off = db.n
     keep = np.ones(len(a_arr), dtype=bool)
     if model_c is not None:
-        ns = NativeScorer.create(combined, model_c)
-        if ns is not None:
+        if native_ok:
+            ns = NativeScorer.create(combined, model_c)
             prob, _ = ns.score(a_arr, q_arr + q_off)
         else:
-            prob, _ = model_c.score(
-                H.side_from_pointset(db, a_arr),
-                H.side_from_pointset(q_ps, q_arr),
-            )
+            prob = np.empty(len(a_arr))
+            CH = HostScorer.CHUNK
+            for s in range(0, len(a_arr), CH):
+                e = min(len(a_arr), s + CH)
+                p, _ = model_c.score(
+                    H.side_from_pointset(db, a_arr[s:e]),
+                    H.side_from_pointset(q_ps, q_arr[s:e]),
+                )
+                prob[s:e] = p
         keep = c_round(prob) > 0
     sim = np.ones(len(a_arr))
     if model_r is not None and keep.any():
         sel = np.nonzero(keep)[0]
-        ns_r = NativeScorer.create(combined, model_r)
-        if ns_r is not None:
+        if native_ok:
+            ns_r = NativeScorer.create(combined, model_r)
             sums, _ = ns_r.score(a_arr[sel], q_arr[sel] + q_off, raw_sum=True)
             sim_sel = np.clip(sums, 0.0, 1.0)
         else:
-            sim_sel = model_r.regression_value(
-                H.side_from_pointset(db, a_arr[sel]),
-                H.side_from_pointset(q_ps, q_arr[sel]),
-            )
+            sim_sel = np.empty(len(sel))
+            CH = HostScorer.CHUNK
+            for s in range(0, len(sel), CH):
+                e = min(len(sel), s + CH)
+                sim_sel[s:e] = model_r.regression_value(
+                    H.side_from_pointset(db, a_arr[sel[s:e]]),
+                    H.side_from_pointset(q_ps, q_arr[sel[s:e]]),
+                )
         sim = np.zeros(len(a_arr))
         sim[sel] = sim_sel
     n_pos = 0
@@ -225,10 +243,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         similarity = recovered.id_cutoff
         mode = recovered.mode
 
-    # k selection from the first <=10000 raw sequence lengths
-    # (FC_Runner.cpp:64-84: RAW lengths, not effective sizes)
+    # The first <=10000 sequences serve both the k/datatype scan AND the
+    # training-template pool — the reference caps the pool at 10k regardless
+    # of flags (FC_Runner.cpp:106-125: `cap = 10000`; only --recover skips
+    # the read and clears the pool).
     sample_records = []
-    if k == -1 or datatype is None:
+    if not args.recover:
         count = 0
         for fpath in args.files:
             for header, seq in iter_fasta(fpath):
@@ -239,6 +259,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             if count >= 10000:
                 break
     if k == -1:
+        if not sample_records or all(r.total_size == 0 for r in sample_records):
+            print("fastcar: no sequences found in the database input",
+                  file=sys.stderr)
+            return 1
         total = sum(r.total_size for r in sample_records)
         avg = total / max(1, len(sample_records))
         k = max(int(math.ceil(math.log(avg) / math.log(4)) - 1), 2)
@@ -257,19 +281,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         if similarity < 0:
             similarity = 0.9
-        # template selection: sort by RAW length, stride to ~sample templates
+        if not sample_records:
+            print("fastcar: no sequences found in the database input",
+                  file=sys.stderr)
+            return 1
+        # template selection over the <=10k pool: unstable std::sort by RAW
+        # length, C-round()ed stride to ~sample templates
         # (FC_Runner.cpp:487-507)
-        recs = sample_records or [
-            encode_sequence(h, s) for f in args.files for h, s in iter_fasta(f)
-        ]
-        recs = sorted(recs, key=lambda r: r.total_size)
+        from .native import sort_perm
+
+        raw_lens = np.array([r.total_size for r in sample_records],
+                            dtype=np.uint64)
+        recs = [sample_records[j] for j in sort_perm(raw_lens)]
+        print(f"sample_size: {args.sample}")  # FC_Runner.cpp:491
         increment = max(1.0, len(recs) / args.sample)
         idxs = []
         i = 0.0
-        while round(i) < len(recs):
-            idxs.append(int(round(i)))
+        while math.floor(i + 0.5) < len(recs):  # C round(), positive domain
+            idxs.append(int(math.floor(i + 0.5)))
             i += increment
         tmpl_ps = build_point_set([recs[j] for j in idxs], k, datatype, keep_seqs=True)
+        mem_used("after selection")  # FC_Runner.cpp:510
+        print(f"TRpoints.size(): {tmpl_ps.n}")  # FC_Runner.cpp:512
         from .train.predictor import train_predictor
 
         mem_used("before predictor training")  # FC_Runner.cpp:539

@@ -559,14 +559,21 @@ class NativeScorer:
         self._bias = float(model.bias)
 
     @classmethod
-    def create(cls, ps, model):
+    def supports(cls, model) -> bool:
+        """True when the native library is available and implements every
+        single feature the model uses (cheap; no point-set state built)."""
         from ..features.flags import feat_log2
 
         lib = _get_lib()
         if lib is None:
-            return None
+            return False
         ids = np.array([feat_log2(s) for s in model.singles], dtype=np.int32)
-        if lib.supports_features(ids.ctypes.data_as(_i32p), len(ids)) != 0:
+        return lib.supports_features(ids.ctypes.data_as(_i32p), len(ids)) == 0
+
+    @classmethod
+    def create(cls, ps, model):
+        lib = _get_lib()
+        if lib is None or not cls.supports(model):
             return None
         return cls(ps, model, lib)
 

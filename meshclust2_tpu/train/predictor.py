@@ -19,7 +19,6 @@ float64 host otherwise) instead of the reference's per-pair memo cache.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -27,7 +26,7 @@ import numpy as np
 from ..features import flags as F
 from ..features import host as H
 from ..io.fasta import codes_to_acgt
-from ..kmer.counting import PointSet, build_point_set, point_from_codes, _record_from_codes
+from ..kmer.counting import PointSet, build_point_set, _record_from_codes
 from ..model.weights import ModelBlock, PredictorModel, PRED_MODE_CLASS, PRED_MODE_REGR
 from ..mutate.engine import HandleSeq
 from ..utils.rng import LCG, MTRandom
@@ -48,15 +47,6 @@ def identities_for_gen(id_begin: float, id_end: float, num_seq: int, rnd: LCG) -
         mut = c_round(100 - actual)
         out.append(1 if mut == 0 else mut)
     return out
-
-
-@dataclass
-class MutPair:
-    """One semi-synthetic (template, mutant) pair."""
-
-    template_row: int
-    mut_records: object     # SequenceRecord of the mutant
-    val: float
 
 
 def _template_seq(ps: PointSet, row: int) -> str:
@@ -95,7 +85,9 @@ def remove_uniform(items: List, trim_size: int) -> List:
     """Uniform-stride downsample keeping ~trim_size items
     (Predictor.cpp:422-441)."""
     n = len(items)
-    inc = n / trim_size if trim_size > 0 else 1.0
+    # trim_size 0 gives inc=+inf in the reference (IEEE n/0.0), keeping only
+    # item 0 — preserve that rather than keeping everything
+    inc = n / trim_size if trim_size > 0 else math.inf
     if inc <= 1:
         inc = 1.0
     out = []

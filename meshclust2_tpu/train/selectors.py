@@ -327,7 +327,10 @@ def greedy_select_class(
     min_feat: int,
     max_feat: int,
 ) -> Tuple[List[FeatPair], np.ndarray]:
-    """Forward greedy classification selection (GreedySelector.cpp:78-147)."""
+    """Forward greedy classification selection (GreedySelector.cpp:78-147).
+
+    Inventory-parity component: like the reference's train_class, it has no
+    live caller (BestFirst is the classification path)."""
     selected: List[FeatPair] = []
     used: set = set()
     abs_best = 0.0
