@@ -150,13 +150,14 @@ def write_regions(path: str, header: str, regions, frmt: int, append: bool):
 
 
 def write_masked(path: str, header: str, raw_seq: str, regions, append: bool):
-    seq = list(raw_seq)
-    for s, e in regions:
-        for i in range(s, e + 1):
-            seq[i] = seq[i].lower()
+    # lowercase repeat regions via an ASCII |0x20 on a uint8 view (letters
+    # only appear here), avoiding per-character Python loops on Mbp inputs
+    buf = np.frombuffer(raw_seq.encode("ascii"), dtype=np.uint8).copy()
+    for s_, e_ in regions:
+        buf[s_ : e_ + 1] |= 0x20
+    s = buf.tobytes().decode("ascii")
     with open(path, "a" if append else "w") as f:
         f.write(header + "\n")
-        s = "".join(seq)
         for i in range(0, len(s), 50):
             f.write(s[i : i + 50] + "\n")
 
@@ -174,12 +175,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         param[argv[i]] = argv[i + 1]
 
     if "-gnm" not in param:
+        if "-hmi" in param:
+            # scan-with-pretrained-HMM mode: the reference loads the model
+            # and sequence, then its scores-file Scanner constructor throws
+            # unconditionally ("ToDo" in Scanner.cpp:11-16) — mirror that
+            # observable behavior after validating the inputs
+            for req in ("-seq", "-sci"):
+                if req not in param:
+                    print(f"-hmi requires {req}", file=sys.stderr)
+                    return 1
+            HMM.read(param["-hmi"])
+            read_fasta(param["-seq"])
+            print("Scanning file of scores is temporarily disabled.",
+                  file=sys.stderr)
+            return 1
         print("A mode is required: training and scanning (-gnm).", file=sys.stderr)
         return 1
     genome_dir = param["-gnm"]
     files = _fa_files(genome_dir)
     per_file = {f: read_fasta(f) for f in files}
     all_records = [r for f in files for r in per_file[f]]
+    if not all_records or all(r.total_size == 0 for r in all_records):
+        print(f"No sequences found under {genome_dir} (.fa files required).",
+              file=sys.stderr)
+        return 1
 
     # k default: floor(log4 genome), clamped to [12, 15]
     # (RepeatsDetector.cpp:350-394)
@@ -227,6 +246,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         chrom_scores[idx] = cs
         eff_size += rec.effective_size
         count_le += cs.count_less_or_equal(t)
+    if eff_size == 0:
+        print("No valid sequence segments found (inputs are all Ns or "
+              "shorter than 20 bp).", file=sys.stderr)
+        return 1
     p = 100.0 * count_le / eff_size
     print(f"The percentage is {p}")
     if p < 52.5:
@@ -238,6 +261,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     t_detector = t + 0.1
     hmm_base = t
     max_score = max((cs.max for cs in chrom_scores.values()), default=1)
+    if max_score <= 0:
+        print("No k-mer scored above zero (genome too small for -len/-min?); "
+              "nothing to train on.", file=sys.stderr)
+        return 1
     state_count = 2 * (math.ceil(math.log(max_score) / math.log(hmm_base)) + 1)
     hmm = HMM(hmm_base, state_count)
 

@@ -27,7 +27,8 @@ class DetectorMaxima:
     """One segment's candidate regions (DetectorMaxima.cpp:23-516)."""
 
     def __init__(self, seg_start: int, seg_end: int, s: float, w: int,
-                 m: float, t: float, p: float, e: int, o_scores: np.ndarray):
+                 m: float, t: float, p: float, e: int, o_scores: np.ndarray,
+                 lt_prefix: np.ndarray = None):
         self.seg_start = seg_start
         self.seg_end = seg_end
         self.s = int(s)
@@ -38,6 +39,8 @@ class DetectorMaxima:
         self.p = p
         self.e = int(e)
         self.o_scores = o_scores
+        if lt_prefix is not None:
+            self._lt_pre = lt_prefix
         self.regions: List[List[int]] = []
 
         smoothed = self._smooth()
@@ -233,8 +236,13 @@ def detect_chrom(
     detector per segment, skipping segments shorter than 2w+10."""
     out: List[Tuple[int, int]] = []
     eff_len = 2 * w + 10
+    # shared below-threshold prefix: one cumsum per chromosome instead of
+    # one full-length cumsum per segment (O(n) vs O(n_segments * n))
+    lt_prefix = np.zeros(len(o_scores) + 1, dtype=np.int64)
+    np.cumsum(o_scores < t, out=lt_prefix[1:])
     for seg_start, seg_end in segments:
         if seg_end - seg_start + 1 > eff_len:
-            det = DetectorMaxima(int(seg_start), int(seg_end), s, int(w), m, t, p, e, o_scores)
+            det = DetectorMaxima(int(seg_start), int(seg_end), s, int(w), m, t,
+                                 p, e, o_scores, lt_prefix=lt_prefix)
             out.extend((r[0], r[1]) for r in det.regions)
     return out

@@ -157,10 +157,29 @@ class HMM:
 
     # -- serialization (-hmo, HMM.cpp:402-447) ------------------------------
 
+    @classmethod
+    def read(cls, path: str) -> "HMM":
+        """Load a model written by write()/-hmo (the reference's
+        HMM(string) ctor, HMM.cpp:86-150)."""
+        with open(path) as f:
+            lines = [l.rstrip("\n") for l in f]
+        assert lines[0] == "Base" and lines[2] == "States", "not an HMM file"
+        base = float(lines[1])
+        state_number = int(lines[3])
+        hmm = cls(base, state_number)
+        assert lines[4] == "Priors"
+        hmm.p_log = np.array([float(v) for v in lines[6].split()])
+        assert lines[7] == "Transition"
+        rows = []
+        for i in range(state_number):
+            parts = lines[9 + i].split("\t")
+            rows.append([float(v) for v in parts[1 : state_number + 1]])
+        hmm.t_log = np.array(rows)
+        return hmm
+
     def write(self, path: str) -> None:
         P = self.positive_state_number
         names = [str(j) for j in range(P)] + [f"-{j}" for j in range(P)]
-        prec = np.finfo(float).precision  # ~15; reference uses digits10+1=16
         with open(path, "w") as f:
             f.write(f"Base\n{self.base:.16g}\n")
             f.write(f"States\n{self.state_number}\n")
