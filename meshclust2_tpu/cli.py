@@ -293,7 +293,15 @@ def _main_impl(args, clock) -> int:
     per_file_records = [records_cache[f] for f in all_files]
 
     if k == -1:
-        k = find_k(per_file_records, len(train_files))
+        try:
+            k = find_k(per_file_records, len(train_files))
+        except ValueError:
+            # no usable sequences: keep the clean empty-output exit path
+            print("No sequences found in input; writing empty output",
+                  file=sys.stderr)
+            write_clstr(args.output, [])
+            clock.stamp("done")
+            return 1
         print(f"Recommended K: {k}")
 
     if datatype is None:

@@ -12,8 +12,9 @@ they are observable in cluster output:
   - a begin-length below the smallest bin bound resolves to the *last* bin
     (index_of initializes low = size-1, bvec.cpp:125-147), which empties the
     window for multi-bin pools;
-  - insertion picks the middle of the least-filled eligible bins
-    (bvec.cpp:149-184);
+  - insertion lands in the single bin index_of selects (the reference's
+    "middle of the least-filled eligible bins", bvec.cpp:149-184, is
+    degenerate because index_of's intervals are disjoint);
   - removal collects marked entries bin-major in slot order
     (bvec.cpp:341-384).
 """
@@ -41,14 +42,13 @@ class BVec:
     # -- construction -------------------------------------------------------
 
     def insert(self, row: int, length: int) -> None:
-        front, back = self._index_of(length)
-        sizes = [len(self._build[i]) for i in range(front, back + 1)]
-        if not sizes:
-            raise RuntimeError("no bins to insert into")
-        minimum = min(sizes)
-        min_bins = [front + i for i, s in enumerate(sizes) if s == minimum]
-        target = min_bins[len(min_bins) // 2]
-        self._build[target].append(row)
+        # the reference's "middle of the least-filled eligible bins"
+        # (bvec.cpp:149-184) is degenerate: index_of's intervals are
+        # disjoint, so the eligible range is always a single bin (or the
+        # below-all-bounds (nb-1, 0) quirk, where front is that single
+        # fallback bin too)
+        front, _ = self._index_of(length)
+        self._build[front].append(row)
 
     def insert_finalize(self, lengths: np.ndarray) -> None:
         """Sort each bin by length (bvec.cpp:215-233) with the native
@@ -154,15 +154,15 @@ class BVec:
     def get_range(self, begin_len: int, end_len: int):
         """((front_bin, front_slot), (back_bin, back_slot), back_empty)
         (bvec.cpp:260-330)."""
-        f_bin, _ = self._index_of(begin_len)[0], None
+        f_bin = self._index_of(begin_len)[0]
         b_bin = self._index_of(end_len)[1]
         f_bin, f_slot, _ = self._inner_index_of(begin_len, f_bin, True, False)
         b_bin, _, b_slot = self._inner_index_of(end_len, b_bin, False, True)
-        back_empty = b_slot is None or b_bin is None
+        back_empty = b_slot is None
         if f_slot is None:
             f_slot = 0
             back_empty = True
-        return (f_bin, f_slot), (b_bin if b_slot is not None else b_bin, b_slot or 0), back_empty
+        return (f_bin, f_slot), (b_bin, b_slot or 0), back_empty
 
     def window(self, front, back):
         """All candidates from front inclusive to back exclusive in bin-major

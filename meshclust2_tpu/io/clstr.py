@@ -38,7 +38,10 @@ def parse_clstr(path: str) -> List[List[dict]]:
                 body = line.split("\t", 1)[1]
                 lenpart, rest = body.split("nt, ", 1)
                 is_center = rest.rstrip().endswith("*")
-                header = rest[: rest.rfind("... ")]
+                marker = rest.rfind("... ")
+                if marker == -1:
+                    raise ValueError(f"malformed CLSTR member line: {line!r}")
+                header = rest[:marker]
                 clusters[-1].append(
                     {"length": int(lenpart), "header": header, "center": is_center}
                 )

@@ -171,7 +171,12 @@ def encode_sequence(header: str, seq: str, can_merge: bool = True) -> SequenceRe
 
     Mirrors Chromosome::help (Chromosome.cpp:130-154) followed by
     ChromosomeOneDigit::encode (ChromosomeOneDigit.cpp:79-133)."""
-    arr = np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)
+    try:
+        arr = np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            f"Invalid nucleotide: non-ASCII character in {header}"
+        ) from e
     codes = _CODE_TABLE[arr]
     is_n = arr == ord("N")
     segs = _find_raw_segments(is_n)

@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..io.fasta import SequenceRecord
+from ..io.fasta import SequenceRecord, _split_segments
 
 DTYPE_MAX = {
     "uint8_t": 255,
@@ -199,26 +199,11 @@ def _record_from_codes(header: str, codes: np.ndarray) -> SequenceRecord:
     # to the last-position quirk, Chromosome.cpp:267-284); mergeSegments only
     # runs when n > 20 and then keeps the single >=20bp segment.
     segs: List = [(0, n - 1)] if n > 1 else []
-    segs = _split_long(segs)
+    segs = _split_segments(segs)
     seg_arr = np.asarray(segs, dtype=np.int64).reshape(-1, 2)
     eff = int((seg_arr[:, 1] - seg_arr[:, 0] + 1).sum()) if len(seg_arr) else 0
     return SequenceRecord(header=header, codes=codes.astype(np.int8), segments=seg_arr,
                           effective_size=eff, total_size=n)
-
-
-def _split_long(segs, seg_length: int = 1_000_000):
-    out = []
-    for s, e in segs:
-        ln = e - s + 1
-        if ln > seg_length:
-            frag_num = ln // seg_length
-            for h in range(frag_num):
-                fs = s + h * seg_length
-                fe = e if h == frag_num - 1 else fs + seg_length - 1
-                out.append((fs, fe))
-        else:
-            out.append((s, e))
-    return out
 
 
 def concat_point_sets(sets: Sequence[PointSet]) -> PointSet:
@@ -275,6 +260,11 @@ def find_k(per_file_records: Sequence[Sequence[SequenceRecord]], n_train_files: 
         l = sum(r.ref_list_effective_size for r in recs) // len(recs)
         total += l
     length = total // max(1, n_train_files)
+    if length <= 1:
+        raise ValueError(
+            "cannot auto-select k: no usable sequences in the input "
+            "(pass --kmer explicitly or check the FASTA files)"
+        )
     import math
 
     return int(math.ceil(math.log(length) / math.log(4.0))) - 1

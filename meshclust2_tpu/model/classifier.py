@@ -89,13 +89,14 @@ class CompiledModel:
     @staticmethod
     def positive(prob: np.ndarray) -> np.ndarray:
         """get_close/filter-style positivity: round(prob) > 0
-        (Trainer.cpp:52,134)."""
-        return np.round(prob) > 0
+        (Trainer.cpp:52,134).  floor(x+0.5), NOT np.round — numpy's
+        banker's rounding flips the decision at prob == 0.5 exactly."""
+        return np.floor(np.asarray(prob, dtype=np.float64) + 0.5) > 0
 
     @staticmethod
     def merge_positive(prob: np.ndarray) -> np.ndarray:
         """merge-style positivity: round(prob) == 1 (Trainer.cpp:101-103)."""
-        return np.round(prob) == 1
+        return np.floor(np.asarray(prob, dtype=np.float64) + 0.5) == 1
 
     def regression_value(self, a: H.PairSide, b: H.PairSide) -> np.ndarray:
         """Regression head evaluation clamped to [0, 1]

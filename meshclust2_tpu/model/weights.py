@@ -97,7 +97,8 @@ def save_weights(path: str, model: PredictorModel) -> None:
 
 
 def _read_block(tokens: List[str], pos: int) -> Tuple[ModelBlock, int]:
-    assert tokens[pos] == "n_combos:", f"bad weights file at {tokens[pos]}"
+    if tokens[pos] != "n_combos:":
+        raise ValueError(f"bad weights file at {tokens[pos]!r} (expected n_combos:)")
     n_combos = int(tokens[pos + 1])
     pos += 2
     weights = [float(tokens[pos])]
@@ -112,7 +113,8 @@ def _read_block(tokens: List[str], pos: int) -> Tuple[ModelBlock, int]:
         for s in F.split_flags(flags_):
             if s not in singles:
                 singles.append(s)
-    assert tokens[pos] == "n_singles:"
+    if tokens[pos] != "n_singles:":
+        raise ValueError(f"bad weights file at {tokens[pos]!r} (expected n_singles:)")
     n_singles = int(tokens[pos + 1])
     pos += 2
     mins = np.zeros(n_singles)
@@ -137,6 +139,13 @@ def _read_block(tokens: List[str], pos: int) -> Tuple[ModelBlock, int]:
 
 
 def load_weights(path: str) -> PredictorModel:
+    try:
+        return _load_weights_tokens(path)
+    except IndexError:
+        raise ValueError(f"truncated or malformed weights file: {path}") from None
+
+
+def _load_weights_tokens(path: str) -> PredictorModel:
     with open(path) as f:
         text = f.read()
     tokens = text.split()
@@ -146,7 +155,8 @@ def load_weights(path: str) -> PredictorModel:
     vals = {}
     pos = 0
     for key in ("k:", "mode:", "max_features:", "ID:", "Datatype:", "feature_set:"):
-        assert tokens[pos] == key, f"expected {key}, got {tokens[pos]}"
+        if tokens[pos] != key:
+            raise ValueError(f"bad weights file: expected {key}, got {tokens[pos]!r}")
         vals[key] = tokens[pos + 1]
         pos += 2
     model = PredictorModel(
