@@ -90,22 +90,35 @@ def digit_matrix(k: int, alphabet: int = 4) -> np.ndarray:
 
 
 def tiedrank(counts: np.ndarray) -> np.ndarray:
-    """Average tied ranks, 1-based, rowwise (Feature.cpp:1540-1588)."""
+    """Average tied ranks, 1-based, rowwise (Feature.cpp:1540-1588).
+
+    Fully vectorized: within each sorted row, every tie group's rank is the
+    mean of its 1-based positions = (first + last) / 2, computed with
+    boundary masks + cummax/reversed-cummin instead of per-group Python
+    loops (the loop version is O(rows * 4^k) interpreted iterations —
+    minutes at 100k x 4^6)."""
     order = np.argsort(counts, axis=-1, kind="stable")
     p, d = counts.shape
+    srt = np.take_along_axis(counts, order, axis=-1)
+    pos = np.arange(1, d + 1, dtype=np.float64)
+    # group starts: position where the value differs from its predecessor
+    new_grp = np.empty((p, d), dtype=bool)
+    new_grp[:, 0] = True
+    new_grp[:, 1:] = srt[:, 1:] != srt[:, :-1]
+    # first position of each group, broadcast over the group (cumulative max
+    # of start positions); last position via the reversed trick
+    first = np.maximum.accumulate(np.where(new_grp, pos, 0.0), axis=-1)
+    grp_end = np.empty((p, d), dtype=bool)
+    grp_end[:, -1] = True
+    grp_end[:, :-1] = new_grp[:, 1:]
+    # last position of each group: nearest end position at-or-after i
+    # (cumulative min from the right over end positions, inf elsewhere)
+    last = np.minimum.accumulate(
+        np.where(grp_end, pos, np.inf)[:, ::-1], axis=-1
+    )[:, ::-1]
+    r = (first + last) / 2.0
     ranks = np.empty((p, d), dtype=np.float64)
-    base = np.arange(1, d + 1, dtype=np.float64)
-    for i in range(p):
-        srt = counts[i, order[i]]
-        # group boundaries of equal values
-        r = base.copy()
-        start = 0
-        for j in range(1, d + 1):
-            if j == d or srt[j] != srt[start]:
-                if j - start > 1:
-                    r[start:j] = r[start:j].mean()
-                start = j
-        ranks[i, order[i]] = r
+    np.put_along_axis(ranks, order, r, axis=-1)
     return ranks
 
 

@@ -37,9 +37,11 @@ def train_glm(X: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 def predict_labels(X: np.ndarray, w: np.ndarray) -> np.ndarray:
     """round(logistic(Xw)) (GLM.cpp:30-39), in {0, 1}; callers map 0 -> -1
-    (FeatureSelector.cpp:63-68)."""
+    (FeatureSelector.cpp:63-68).  floor(x+0.5) = C round() on [0, 1];
+    numpy's banker's rounding would flip the label at exactly 0.5
+    (reachable when Xw == 0, e.g. degenerate all-zero features)."""
     z = X @ w
-    return np.round(logistic(z))
+    return np.floor(logistic(z) + 0.5)
 
 
 def accuracy(o_labels: np.ndarray, p_labels: np.ndarray) -> Tuple[float, float, float]:

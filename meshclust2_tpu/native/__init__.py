@@ -233,6 +233,10 @@ def sort_perm(keys: np.ndarray) -> np.ndarray:
     if lib is None:
         return np.argsort(keys, kind="stable")
     if keys.dtype == np.uint64 or keys.dtype == np.int64:
+        if keys.dtype == np.int64 and len(keys) and int(keys.min()) < 0:
+            raise ValueError(
+                "sort_perm: negative int64 keys would reinterpret as uint64"
+            )
         k = keys.astype(np.uint64)
         lib.sort_perm_u64(
             k.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -586,6 +590,10 @@ class NativeScorer:
             a_rows = np.broadcast_to(a_rows, b_rows.shape)
         a_rows = np.ascontiguousarray(a_rows, dtype=np.int64)
         b_rows = np.ascontiguousarray(b_rows, dtype=np.int64)
+        if len(a_rows) != len(b_rows):
+            raise ValueError(
+                f"score: length mismatch {len(a_rows)} vs {len(b_rows)}"
+            )
         n = len(a_rows)
         prob = np.empty(n, dtype=np.float64)
         dist = np.empty(n, dtype=np.float64)

@@ -142,7 +142,7 @@ class DeviceFeatureEngine:
         self.fused_ok = (
             set(self.singles) <= _FUSED_DERIVABLE
             and maxc * maxmag < 2**31
-            and maxmag * d < 2**31
+            and maxmag * d < 2**31  # bounds the int32 EMD total too
             and maxmag < 2**24
         )
         if self.fused_ok:
@@ -471,7 +471,13 @@ class DeviceScorer:
             and (b_rows == b_rows[0]).all()
         ):
             # the common center-vs-window shape: one fused HBM pass
-            raw = self.engine.center_singles_fused(a_rows, int(b_rows[0]))
+            try:
+                raw = self.engine.center_singles_fused(a_rows, int(b_rows[0]))
+            except Exception:
+                # e.g. Mosaic compile failure on an unusual dim; fall back
+                # permanently to the unfused device path
+                self.use_fused = False
+                raw = self.engine.singles_batch(a_rows, b_rows).astype(np.float64)
         else:
             raw = self.engine.singles_batch(a_rows, b_rows).astype(np.float64)
         _, prob, dist = self.model.decision_from_raw(raw)

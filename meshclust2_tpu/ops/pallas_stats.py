@@ -53,7 +53,12 @@ def _build(tile_b: int, d: int, interpret: bool, in_dtype: str = "int32"):
             jax.lax.broadcasted_iota(jnp.int32, (EMD_BLK, EMD_BLK), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (EMD_BLK, EMD_BLK), 1)
         ).astype(jnp.float32)
-        emd = jnp.zeros((h.shape[0],), jnp.float32)
+        # per-block |prefix| sums are cast to int32 BEFORE accumulating:
+        # each prefix is an integer-valued float32 < 2^24 (exact), a block
+        # sum is < 128 * 2^24 < 2^31, and the running int32 total is bounded
+        # by d * maxmag < 2^31 (the fused_ok envelope) — so the EMD stat is
+        # integer-exact, unlike a float32 running sum which rounds past 2^24
+        emd = jnp.zeros((h.shape[0],), jnp.int32)
         carry = jnp.zeros((h.shape[0], 1), jnp.float32)
         for blk in range(d // EMD_BLK):
             dblk = diff[:, blk * EMD_BLK : (blk + 1) * EMD_BLK]
@@ -62,9 +67,9 @@ def _build(tile_b: int, d: int, interpret: bool, in_dtype: str = "int32"):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + carry
-            emd = emd + jnp.abs(pref).sum(axis=1)
+            emd = emd + jnp.abs(pref).astype(jnp.int32).sum(axis=1)
             carry = pref[:, -1:]
-        out_ref[:] = jnp.stack([summin, dot, emd.astype(jnp.int32)], axis=1)
+        out_ref[:] = jnp.stack([summin, dot, emd], axis=1)
 
     try:
         from jax.experimental.pallas import tpu as pltpu
@@ -107,11 +112,14 @@ def _build(tile_b: int, d: int, interpret: bool, in_dtype: str = "int32"):
 
 
 def center_block_stats(h_block: np.ndarray, center: np.ndarray,
-                       tile_b: int = 1024, interpret: bool | None = None):
+                       tile_b: int | None = None,
+                       interpret: bool | None = None):
     """[B, D] int candidate block vs [D] center -> [B, 3] int32 stats.
 
     B is padded to a multiple of tile_b internally.  interpret=None
-    auto-selects interpreter mode off-TPU.
+    auto-selects interpreter mode off-TPU.  tile_b=None sizes the tile so
+    the widened int32 block stays within a ~8 MB VMEM budget (1024 rows at
+    k<=5, shrinking for larger histogram dims so k=7/8 still compiles).
     """
     import jax
     import jax.numpy as jnp
@@ -119,6 +127,11 @@ def center_block_stats(h_block: np.ndarray, center: np.ndarray,
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     b, d = h_block.shape
+    if tile_b is None:
+        # the kernel keeps ~3 live copies of the tile (narrow input, int32
+        # widened, f32 diff/prefix) ≈ 9 bytes/element; budget ~10 MB of the
+        # 16 MB scoped VMEM
+        tile_b = max(8, min(1024, ((10 << 20) // (9 * d)) // 8 * 8))
     pad = (-b) % tile_b
     # uint8 histograms stream 4x less HBM through the kernel; anything wider
     # goes through int32 (the exactness envelope of the int32 reductions)

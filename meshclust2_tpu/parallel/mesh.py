@@ -35,7 +35,8 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data"):
     return Mesh(np.array(devs), (axis,))
 
 
-def classify_kernel_factory(weights, mins, maxs, is_sim, combo_spec):
+def classify_kernel_factory(weights, mins, maxs, is_sim, combo_spec,
+                            bias: float = 0.0):
     """Build a jittable epilogue: raw singles [B, S] -> (prob, dist) [B].
 
     combo_spec: tuple of (kind, idx tuple) per combo (model.combo_indices()).
@@ -64,7 +65,8 @@ def classify_kernel_factory(weights, mins, maxs, is_sim, combo_spec):
             cols.append(c)
         combo = jnp.stack(cols, axis=1)
         s = w[0] + combo @ w[1:]
-        prob = 1.0 / (1.0 + jnp.exp(-s))
+        # prob = logistic(s) + bias (Predictor.cpp:310-320 — the --bias knob)
+        prob = 1.0 / (1.0 + jnp.exp(-s)) + jnp.float32(bias)
         return prob, combo[:, 0]
 
     return epilogue
@@ -127,10 +129,18 @@ def sharded_mean_update(mesh, axis: str = "data"):
         d = jnp.where(mask_local > 0, d, jnp.inf)
         local_min = d.min(axis=1)
         local_arg = global_rows_local[d.argmin(axis=1)]
-        # global argmin: min over devices, then the owning device's index
+        # global argmin: min over devices, then the owning device's index.
+        # Tie-break: smallest global row (the host engine breaks distance
+        # ties by first member-list position instead; MeshScorer runs keep
+        # re-centering on the host path, so this only affects direct users
+        # of this collective).  Empty centers return -1 like the native
+        # argmin kernel.
         gmin = jax.lax.pmin(local_min, axis)
         winner = jnp.where(local_min == gmin, local_arg, jnp.int32(2**30))
         garg = jax.lax.pmin(winner, axis)
+        empty = counts <= 0
+        gmin = jnp.where(empty, jnp.inf, gmin)
+        garg = jnp.where(empty, jnp.int32(-1), garg)
         return gmin, garg
 
     return jax.jit(fn)

@@ -110,6 +110,7 @@ class MeshScorer:
 
         model = self.model
         singles = model.singles
+        bias = float(getattr(model, "bias", 0.0))
         w = jnp.asarray(model.weights, dtype=jnp.float32)
         mn = jnp.asarray(model.mins, dtype=jnp.float32)
         mx = jnp.asarray(model.maxs, dtype=jnp.float32)
@@ -180,7 +181,9 @@ class MeshScorer:
                 cols.append(c)
             combo = jnp.stack(cols, axis=1)
             s = w[0] + combo @ w[1:]
-            prob = 1.0 / (1.0 + jnp.exp(-s))
+            # logistic(s) + bias (Predictor.cpp:310-320 — the --bias knob;
+            # omitting it silently flips decisions under -b)
+            prob = 1.0 / (1.0 + jnp.exp(-s)) + jnp.float32(bias)
             return prob, combo[:, 0]
 
         fn = shard_map(

@@ -61,3 +61,22 @@ def test_full_clustering_through_mesh_scorer(setup, tmp_path):
     ref = clusters_with(HostScorer(ps, model))
     got = clusters_with(MeshScorer.create(ps, model))
     assert ref == got
+
+
+def test_mesh_scorer_carries_bias(setup):
+    """--bias must flow into the sharded epilogue: decisions with a nonzero
+    bias match the host oracle (a missing + bias silently flips every
+    borderline classification on the mesh path)."""
+    w, ps, _ = setup
+    model = CompiledModel(w.classifier, bias=0.3)
+
+    def clusters_with(scorer):
+        eng = MeanShiftEngine(ps, model, w.id_cutoff, scorer=scorer)
+        return sorted(
+            (c.center_row, tuple(sorted(c.members)))
+            for c in eng.run() if not c.deleted
+        )
+
+    assert clusters_with(MeshScorer.create(ps, model)) == clusters_with(
+        HostScorer(ps, model)
+    )
