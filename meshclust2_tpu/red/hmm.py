@@ -163,13 +163,16 @@ class HMM:
         HMM(string) ctor, HMM.cpp:86-150)."""
         with open(path) as f:
             lines = [l.rstrip("\n") for l in f]
-        assert lines[0] == "Base" and lines[2] == "States", "not an HMM file"
+        if lines[0] != "Base" or lines[2] != "States":
+            raise ValueError(f"not an HMM file: {path}")
         base = float(lines[1])
         state_number = int(lines[3])
         hmm = cls(base, state_number)
-        assert lines[4] == "Priors"
+        if lines[4] != "Priors":
+            raise ValueError(f"not an HMM file (missing Priors): {path}")
         hmm.p_log = np.array([float(v) for v in lines[6].split()])
-        assert lines[7] == "Transition"
+        if lines[7] != "Transition":
+            raise ValueError(f"not an HMM file (missing Transition): {path}")
         rows = []
         for i in range(state_number):
             parts = lines[9 + i].split("\t")
