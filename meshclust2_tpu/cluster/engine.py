@@ -283,6 +283,11 @@ class MeanShiftEngine:
 
         clusters: List[Cluster] = []
         prog = Progress(self.ps.n, "Accumulation")  # ClusterFactory.cpp:625
+        native = self._native_accumulate(bv, prog)
+        if native is not None:
+            prog.end()
+            self.stats.clusters_before_update = len(native)
+            return native
         last = bv.pop()
         while last is not None:
             current = [last]
@@ -305,6 +310,35 @@ class MeanShiftEngine:
         prog.end()
         self.stats.clusters_before_update = len(clusters)
         return clusters
+
+    def _native_accumulate(self, bv: BVec, prog) -> Optional[List[Cluster]]:
+        """One-call native accumulate driver (native/accumulate.cpp): the
+        whole sequential loop — bvec queries, window scans, the same-center
+        cache, scoring, closest-to-mean — without per-step Python/ctypes
+        overhead.  Requires the scorer to BE the native scorer (so decisions
+        are computed by the same code either way); returns None to fall back
+        to the Python loop."""
+        import os
+
+        from ..native import NativeScorer
+
+        if os.environ.get("MC2_NO_NATIVE_ACCUMULATE"):
+            return None
+        if type(self.scorer) is not NativeScorer:
+            return None
+        res = self.scorer.accumulate(bv, self.sim, progress_step=prog.step)
+        if res is None:
+            return None
+        centers, offsets, members, windows, pairs = res
+        self.stats.windows_scored += windows
+        self.stats.pairs_scored += pairs
+        return [
+            Cluster(
+                center_row=int(centers[i]),
+                members=members[offsets[i]:offsets[i + 1]].tolist(),
+            )
+            for i in range(len(centers))
+        ]
 
     # ---------------- update/merge phase ----------------
 

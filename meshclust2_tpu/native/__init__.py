@@ -19,11 +19,15 @@ import numpy as np
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "sortperm.cpp"),
     os.path.join(os.path.dirname(__file__), "score.cpp"),
+    os.path.join(os.path.dirname(__file__), "accumulate.cpp"),
     os.path.join(os.path.dirname(__file__), "count.cpp"),
     os.path.join(os.path.dirname(__file__), "viterbi.cpp"),
     os.path.join(os.path.dirname(__file__), "encode.cpp"),
     os.path.join(os.path.dirname(__file__), "glm.cpp"),
 ]
+# score_impl.h is #included by score.cpp/accumulate.cpp; hash it too so the
+# cached .so rebuilds when the shared machinery changes
+_HDRS = [os.path.join(os.path.dirname(__file__), "score_impl.h")]
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
@@ -32,11 +36,12 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 _u32p = ctypes.POINTER(ctypes.c_uint32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _f64p = ctypes.POINTER(ctypes.c_double)
+_PROGRESS_CB = ctypes.CFUNCTYPE(None, ctypes.c_int64)
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
     h = hashlib.sha256()
-    for src in _SRCS:
+    for src in _SRCS + _HDRS:
         with open(src, "rb") as f:
             h.update(f.read())
     digest = h.hexdigest()[:16]
@@ -83,6 +88,18 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, ctypes.c_int64, i64p,
     ]
     lib.mean_shift_argmin.restype = ctypes.c_int
+    lib.accumulate_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, _f64p,
+        ctypes.c_int64, ctypes.c_int64,                  # points view
+        _i32p, _f64p, _f64p, _u8p, ctypes.c_int32,       # singles
+        _i32p, _i32p, _i32p, ctypes.c_int32,             # combos
+        _f64p, ctypes.c_double,                          # weights, bias
+        ctypes.c_double,                                 # similarity
+        i64p, i64p, i64p, ctypes.c_int64,                # bvec bins
+        _PROGRESS_CB,                                    # progress callback
+        i64p, i64p, i64p, i64p, i64p, i64p,              # outputs
+    ]
+    lib.accumulate_run.restype = ctypes.c_int
     lib.raw_singles.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, ctypes.c_int64,
         i64p, i64p, ctypes.c_int64, _i32p, ctypes.c_int32, _f64p,
@@ -626,3 +643,68 @@ class NativeScorer:
         if rc != 0:
             raise RuntimeError("native score_block failed")
         return prob, dist
+
+    def accumulate(self, bv, sim: float, progress_step=None):
+        """Run the whole accumulate phase natively over a freshly-finalized
+        BVec (cluster/bvec.py).  Returns (centers, member_offsets, members,
+        windows_scored, pairs_scored) — flat int64 arrays with cluster i's
+        members at members[member_offsets[i]:member_offsets[i+1]] — or None
+        when the native driver declines (unsupported feature)."""
+        n = len(self._lengths)
+        bin_rows = (
+            np.concatenate(bv.bins) if bv.bins else np.zeros(0, np.int64)
+        )
+        bin_rows = np.ascontiguousarray(bin_rows, dtype=np.int64)
+        bin_offsets = np.zeros(len(bv.bins) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bv.bins], out=bin_offsets[1:])
+        bounds = np.ascontiguousarray(bv._bounds_arr, dtype=np.int64)
+        centers = np.empty(n, dtype=np.int64)
+        offsets = np.empty(n + 1, dtype=np.int64)
+        members = np.empty(n, dtype=np.int64)
+        stats = np.zeros(3, dtype=np.int64)  # n_clusters, windows, pairs
+        if progress_step is not None:
+            cb = _PROGRESS_CB(lambda k: progress_step(k))
+        else:
+            cb = _PROGRESS_CB(0)
+        rc = self._lib.accumulate_run(
+            self._counts.ctypes.data_as(ctypes.c_void_p),
+            self._elem_width,
+            self._mags.ctypes.data_as(_i64p),
+            self._lengths.ctypes.data_as(_i64p),
+            self._stddevs.ctypes.data_as(_f64p),
+            self._self_dots.ctypes.data_as(_f64p),
+            self._counts.shape[1], n,
+            self._single_ids.ctypes.data_as(_i32p),
+            self._mins.ctypes.data_as(_f64p),
+            self._maxs.ctypes.data_as(_f64p),
+            self._is_sim.ctypes.data_as(_u8p),
+            len(self._single_ids),
+            self._ck.ctypes.data_as(_i32p),
+            self._c0.ctypes.data_as(_i32p),
+            self._c1.ctypes.data_as(_i32p),
+            len(self._ck),
+            self._weights.ctypes.data_as(_f64p),
+            self._bias,
+            float(sim),
+            bin_rows.ctypes.data_as(_i64p),
+            bin_offsets.ctypes.data_as(_i64p),
+            bounds.ctypes.data_as(_i64p),
+            len(bv.bins),
+            cb,
+            centers.ctypes.data_as(_i64p),
+            offsets.ctypes.data_as(_i64p),
+            members.ctypes.data_as(_i64p),
+            stats[0:].ctypes.data_as(_i64p),
+            stats[1:].ctypes.data_as(_i64p),
+            stats[2:].ctypes.data_as(_i64p),
+        )
+        if rc != 0:
+            return None
+        nc = int(stats[0])
+        return (
+            centers[:nc],
+            offsets[: nc + 1],
+            members,
+            int(stats[1]),
+            int(stats[2]),
+        )

@@ -1,0 +1,454 @@
+// Full accumulate-phase driver (ClusterFactory::MS front half,
+// ClusterFactory.cpp:552-631) running natively.
+//
+// The accumulate loop is inherently sequential and data-dependent (the
+// candidate pool mutates after every classifier round), so the round-1
+// design drove it from Python with native scoring calls.  Per-step driver
+// overhead (numpy window gathers, ctypes marshalling, bvec bookkeeping) was
+// ~40% of the phase at 10k sequences; this file moves the whole loop —
+// bvec queries, window scans, the same-center score cache, classifier
+// scoring, and closest-to-mean re-centering — into one native call.
+//
+// Parity contract: behavior is the cluster/bvec.py + cluster/engine.py
+// accumulate path statement for statement (which in turn is the reference's
+// bvec.cpp / Trainer.cpp / ClusterFactory.cpp semantics, quirks included):
+//  - bin-range queries with the reference's index_of initialization quirk
+//    (below-all-bounds resolves to the last bin) and the low==high break in
+//    the inner binary search (bvec.cpp:76-147);
+//  - window walk front-inclusive back-exclusive in bin-major order
+//    (Trainer.cpp:42);
+//  - candidate length re-filter with uint64-truncated bounds
+//    (Trainer.cpp:39-47);
+//  - first-strict-max argmax over dist, positives = floor(prob+0.5) > 0;
+//  - marked-entry sweep over FULL bins front..back in slot order
+//    (bvec.cpp:341-384);
+//  - re-center on the member minimizing distance_d to the float64 mean
+//    (ClusterFactory.cpp:337-380), first strict min wins;
+//  - the same-center scan cache (exact: scores depend only on the two
+//    rows; reused verbatim when every filtered candidate is stamped).
+#include <cstdint>
+#include <vector>
+
+#include "score_impl.h"
+
+namespace {
+
+using mc2::ModelSpec;
+using mc2::PointsView;
+using mc2::ScorePlan;
+
+typedef void (*mc2_progress_cb)(int64_t);
+
+// Length-binned pool: compacted per-bin row vectors with parallel marks
+// (cluster/bvec.py's arrays, mutated in place).
+struct BVecNative {
+    std::vector<std::vector<int64_t>> rows;
+    std::vector<std::vector<uint8_t>> marks;
+    const int64_t* bounds;
+    const int64_t* lengths;
+    int64_t nb;
+
+    struct Pos {
+        int64_t bin;
+        int64_t slot;
+    };
+
+    // searchsorted(bounds, length, side="right") over the static bounds
+    void index_of(int64_t length, int64_t* low, int64_t* high) const {
+        int64_t lo = 0, hi = nb;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (bounds[mid] <= length)
+                lo = mid + 1;
+            else
+                hi = mid;
+        }
+        int64_t hi_cnt = lo;
+        if (hi_cnt == 0) {  // below every bound: loop matches nothing
+            *low = nb - 1;
+            *high = 0;
+        } else if (hi_cnt >= nb) {  // at/above the last bound: last-bin rule
+            *low = nb - 1;
+            *high = nb - 1;
+        } else {
+            *low = hi_cnt - 1;
+            *high = hi_cnt - 1;
+        }
+    }
+
+    // bvec.cpp:51-120; front/back outputs are -1 when not found
+    void inner_index_of(int64_t length, int64_t idx, bool want_front,
+                        bool want_back, int64_t* out_idx, int64_t* out_front,
+                        int64_t* out_back) const {
+        int64_t front_out = -1, back_out = -1;
+        if (idx >= nb || rows[idx].empty()) {
+            if (want_front) {
+                for (int64_t i = 0; i < nb; i++)
+                    if (!rows[i].empty()) {
+                        idx = i;
+                        front_out = 0;
+                        break;
+                    }
+            }
+            if (want_back) {
+                for (int64_t i = nb - 1; i >= 0; i--)
+                    if (!rows[i].empty()) {
+                        idx = i;
+                        back_out = 0;
+                        break;
+                    }
+            }
+            *out_idx = idx;
+            *out_front = front_out;
+            *out_back = back_out;
+            return;
+        }
+        const std::vector<int64_t>& b = rows[idx];
+        int64_t front = 0, back = 0;
+        int64_t low = 0, high = (int64_t)b.size() - 1;
+        while (low <= high) {
+            int64_t mid = (low + high) / 2;
+            int64_t d = lengths[b[mid]];
+            if (d == length) {
+                front = back = mid;
+                break;
+            } else if (length < d) {
+                high = mid;
+            } else {
+                low = mid + 1;
+            }
+            if (low == high) {
+                front = low;
+                back = high;
+                break;
+            }
+        }
+        if (want_front) {
+            int64_t i = front;
+            while (i >= 0 && lengths[b[i]] == length) {
+                front = i;
+                i--;
+            }
+            front_out = front;
+        }
+        if (want_back) {
+            int64_t i = back;
+            while (i < (int64_t)b.size() && lengths[b[i]] == length) {
+                back = i;
+                i++;
+            }
+            back_out = back;
+        }
+        *out_idx = idx;
+        *out_front = front_out;
+        *out_back = back_out;
+    }
+
+    // bvec.cpp:260-330; returns false via *back_empty semantics
+    void get_range(int64_t begin_len, int64_t end_len, Pos* front, Pos* back,
+                   bool* back_empty) const {
+        int64_t f_bin, b_bin, tmp;
+        index_of(begin_len, &f_bin, &tmp);
+        index_of(end_len, &tmp, &b_bin);
+        int64_t f_slot, b_slot, unused;
+        inner_index_of(begin_len, f_bin, true, false, &f_bin, &f_slot, &unused);
+        inner_index_of(end_len, b_bin, false, true, &b_bin, &unused, &b_slot);
+        *back_empty = (b_slot < 0);
+        if (f_slot < 0) {
+            f_slot = 0;
+            *back_empty = true;
+        }
+        front->bin = f_bin;
+        front->slot = f_slot;
+        back->bin = b_bin;
+        back->slot = b_slot < 0 ? 0 : b_slot;
+    }
+
+    int64_t pop() {
+        for (int64_t i = 0; i < nb; i++)
+            if (!rows[i].empty()) {
+                int64_t r = rows[i].front();
+                rows[i].erase(rows[i].begin());
+                marks[i].erase(marks[i].begin());
+                return r;
+            }
+        return -1;
+    }
+
+    void erase(int64_t bin, int64_t slot) {
+        rows[bin].erase(rows[bin].begin() + slot);
+        marks[bin].erase(marks[bin].begin() + slot);
+    }
+
+    // bvec.cpp:341-384: collect+remove marked entries over FULL bins
+    // front.bin..back.bin in bin-major slot order
+    void remove_available(const Pos& front, const Pos& back,
+                          std::vector<int64_t>* out) {
+        int64_t a = front.bin;
+        int64_t b = std::min(back.bin, nb - 1);
+        for (int64_t i = a; i <= b; i++) {
+            std::vector<int64_t>& br = rows[i];
+            std::vector<uint8_t>& bm = marks[i];
+            bool any = false;
+            for (uint8_t mk : bm)
+                if (mk) {
+                    any = true;
+                    break;
+                }
+            if (!any) continue;
+            size_t w = 0;
+            for (size_t j = 0; j < br.size(); j++) {
+                if (bm[j]) {
+                    out->push_back(br[j]);
+                } else {
+                    br[w] = br[j];
+                    bm[w] = 0;
+                    w++;
+                }
+            }
+            br.resize(w);
+            bm.resize(w);
+        }
+    }
+};
+
+// Member closest to the float64 arithmetic-mean histogram
+// (ClusterFactory.cpp:337-380 / DivergencePoint.cpp:54-66 with its
+// truncating uint64 mag accumulation); first strict minimum wins.
+template <typename T>
+int64_t closest_to_mean(const PointsView<T>& v,
+                        const std::vector<int64_t>& members,
+                        std::vector<double>* top_buf) {
+    int64_t dim = v.dim;
+    double* top = top_buf->data();
+    for (int64_t i = 0; i < dim; i++) top[i] = 0.0;
+    for (int64_t r : members) {
+        const T* row = v.row(r);
+        for (int64_t i = 0; i < dim; i++) top[i] += row[i];
+    }
+    double n = (double)members.size();
+    for (int64_t i = 0; i < dim; i++) top[i] /= n;
+    double best = 1e300;
+    int64_t best_row = -1;
+    for (int64_t r : members) {
+        const T* row = v.row(r);
+        uint64_t dist = 0, mag = 0;
+        for (int64_t i = 0; i < dim; i++) {
+            double rt = std::floor(top[i] + 0.5);
+            double cv = (double)row[i];
+            dist += 2 * (uint64_t)std::min(cv, rt);
+            mag += (uint64_t)(cv + top[i]);
+        }
+        double frac = (double)dist / (double)mag;
+        double d = 10000.0 * (1.0 - frac * frac);
+        if (best_row < 0 || d < best) {
+            best = d;
+            best_row = r;
+        }
+    }
+    return best_row;
+}
+
+template <typename T>
+int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
+                     double sim, const int64_t* bin_rows,
+                     const int64_t* bin_offsets, const int64_t* bounds,
+                     int64_t n_bins, mc2_progress_cb progress_cb,
+                     int64_t* out_centers, int64_t* out_member_offsets,
+                     int64_t* out_members, int64_t* out_n_clusters,
+                     int64_t* out_windows, int64_t* out_pairs) {
+    ScorePlan<T> plan;
+    if (!plan.build(m, v.self_dots)) return -1;
+
+    BVecNative bv;
+    bv.bounds = bounds;
+    bv.lengths = v.lengths;
+    bv.nb = n_bins;
+    bv.rows.resize(n_bins);
+    bv.marks.resize(n_bins);
+    for (int64_t i = 0; i < n_bins; i++) {
+        int64_t s = bin_offsets[i], e = bin_offsets[i + 1];
+        bv.rows[i].assign(bin_rows + s, bin_rows + e);
+        bv.marks[i].assign(e - s, 0);
+    }
+
+    // same-center scan cache (engine.py's _cache_* arrays)
+    std::vector<int64_t> cache_stamp(n, 0);
+    std::vector<double> cache_prob(n), cache_dist(n);
+    int64_t cache_center = -1, cache_epoch = 0;
+
+    // scratch (sized lazily; windows can approach n)
+    std::vector<int64_t> cand_rows, cand_bins, cand_slots;
+    std::vector<double> prob, dist;
+    std::vector<double> top_buf(v.dim);
+    std::vector<int64_t> members;
+
+    int64_t windows = 0, pairs = 0;
+    int64_t n_clusters = 0, member_pos = 0;
+    out_member_offsets[0] = 0;
+
+    int64_t last = bv.pop();
+    while (last >= 0) {
+        members.clear();
+        members.push_back(last);
+        bool is_min = false;
+        while (!is_min) {
+            int64_t length = v.lengths[last];
+            int64_t begin_len = (int64_t)((double)length * sim);
+            int64_t end_len = (int64_t)((double)length / sim);
+            BVecNative::Pos front{0, 0}, back{0, 0};
+            bool back_empty;
+            bv.get_range(begin_len, end_len, &front, &back, &back_empty);
+
+            int64_t best_row = -1, best_bin = -1, best_slot = -1;
+            if (back_empty) {
+                is_min = true;
+            } else {
+                // window walk, with the candidate length re-filter inlined
+                // (same order: bin-major, front inclusive to back exclusive)
+                cand_rows.clear();
+                cand_bins.clear();
+                cand_slots.clear();
+                int64_t r = front.bin, c = front.slot;
+                while (r < bv.nb && c >= (int64_t)bv.rows[r].size()) {
+                    r++;
+                    c = 0;
+                }
+                while (r < bv.nb &&
+                       (r < back.bin || (r == back.bin && c < back.slot))) {
+                    int64_t hi = (r == back.bin) ? back.slot
+                                                 : (int64_t)bv.rows[r].size();
+                    for (; c < hi; c++) {
+                        int64_t row = bv.rows[r][c];
+                        int64_t len = v.lengths[row];
+                        if (len >= begin_len && len <= end_len) {
+                            cand_rows.push_back(row);
+                            cand_bins.push_back(r);
+                            cand_slots.push_back(c);
+                        }
+                    }
+                    r++;
+                    c = 0;
+                }
+                int64_t nc = (int64_t)cand_rows.size();
+                if (nc == 0) {
+                    is_min = true;
+                } else {
+                    prob.resize(nc);
+                    dist.resize(nc);
+                    bool hit = (last == cache_center);
+                    if (hit) {
+                        for (int64_t i = 0; i < nc; i++)
+                            if (cache_stamp[cand_rows[i]] != cache_epoch) {
+                                hit = false;
+                                break;
+                            }
+                    }
+                    if (hit) {
+                        for (int64_t i = 0; i < nc; i++) {
+                            prob[i] = cache_prob[cand_rows[i]];
+                            dist[i] = cache_dist[cand_rows[i]];
+                        }
+                    } else {
+                        mc2::score_pairs(v, m, plan, cand_rows.data(), &last,
+                                         /*b_stride=*/0, nc, prob.data(),
+                                         dist.data());
+                        pairs += nc;
+                        cache_center = last;
+                        cache_epoch++;
+                        for (int64_t i = 0; i < nc; i++) {
+                            cache_stamp[cand_rows[i]] = cache_epoch;
+                            cache_prob[cand_rows[i]] = prob[i];
+                            cache_dist[cand_rows[i]] = dist[i];
+                        }
+                    }
+                    windows++;
+                    // positives = floor(prob+0.5) > 0; argmax by dist with
+                    // first-strict-max tie semantics (Trainer.cpp:57)
+                    bool any_pos = false;
+                    int64_t best_i = 0;
+                    for (int64_t i = 0; i < nc; i++) {
+                        if (dist[i] > dist[best_i]) best_i = i;
+                        if (std::floor(prob[i] + 0.5) > 0) {
+                            any_pos = true;
+                            bv.marks[cand_bins[i]][cand_slots[i]] = 1;
+                        }
+                    }
+                    is_min = !any_pos;
+                    best_row = cand_rows[best_i];
+                    best_bin = cand_bins[best_i];
+                    best_slot = cand_slots[best_i];
+                }
+            }
+
+            if (is_min) {
+                int64_t nxt;
+                if (best_row < 0) {
+                    nxt = bv.pop();
+                } else {
+                    bv.erase(best_bin, best_slot);
+                    nxt = best_row;
+                }
+                out_centers[n_clusters] = last;
+                for (int64_t mrow : members) out_members[member_pos++] = mrow;
+                out_member_offsets[n_clusters + 1] = member_pos;
+                n_clusters++;
+                if (progress_cb) progress_cb((int64_t)members.size());
+                last = nxt;
+            } else {
+                bv.remove_available(front, back, &members);
+                last = closest_to_mean(v, members, &top_buf);
+            }
+        }
+    }
+
+    *out_n_clusters = n_clusters;
+    *out_windows = windows;
+    *out_pairs = pairs;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Runs the whole accumulate phase; outputs are caller-allocated with
+// capacity n (centers, member_offsets[n+1], members).  Returns 0 on
+// success, -1 if a model feature has no native implementation.
+int accumulate_run(
+    const void* counts, int32_t elem_width, const int64_t* mags,
+    const int64_t* lengths, const double* stddevs, const double* self_dots,
+    int64_t dim, int64_t n,
+    const int32_t* single_ids, const double* mins, const double* maxs,
+    const uint8_t* is_sim, int32_t n_singles,
+    const int32_t* combo_kinds, const int32_t* combo_idx0,
+    const int32_t* combo_idx1, int32_t n_combos,
+    const double* weights, double bias,
+    double sim,
+    const int64_t* bin_rows, const int64_t* bin_offsets,
+    const int64_t* bounds, int64_t n_bins,
+    mc2_progress_cb progress_cb,
+    int64_t* out_centers, int64_t* out_member_offsets, int64_t* out_members,
+    int64_t* out_n_clusters, int64_t* out_windows, int64_t* out_pairs) {
+    ModelSpec m{single_ids, mins,       maxs,    is_sim, n_singles,
+                combo_kinds, combo_idx0, combo_idx1, n_combos, weights,
+                bias,        /*raw_sum=*/0};
+#define RUN_BODY(T)                                                          \
+    {                                                                        \
+        PointsView<T> v{(const T*)counts, mags, lengths, stddevs, self_dots, \
+                        dim};                                                \
+        return accumulate_run_t(v, m, n, sim, bin_rows, bin_offsets, bounds, \
+                                n_bins, progress_cb, out_centers,            \
+                                out_member_offsets, out_members,             \
+                                out_n_clusters, out_windows, out_pairs);     \
+    }
+    switch (elem_width) {
+        case 1: RUN_BODY(uint8_t);
+        case 2: RUN_BODY(uint16_t);
+        case 4: RUN_BODY(uint32_t);
+        default: return -1;
+    }
+#undef RUN_BODY
+}
+
+}  // extern "C"

@@ -13,710 +13,34 @@
 //    per-point precomputed moments.  Derived values can differ from the
 //    reference's sequential loops in the last ulps, so borderline decisions
 //    (probability near a rounding threshold, dist near the window max) are
-//    recomputed with the EXACT per-feature loops below.
+//    recomputed with the EXACT per-feature loops.
 //  - EXACT: formula-faithful per-feature loops matching Feature.cpp's
 //    accumulation order bit-for-bit.
+//
+// The machinery lives in score_impl.h (shared with accumulate.cpp, the
+// full accumulate-phase driver); this file is the ctypes entry points.
 //
 // Counts are stored at the narrowest width that holds the histogram dtype
 // (uint8 histograms stream 4x less memory than uint32).
 // Feature ids are log2 of the FEAT_* bit flags (Feature.h:31-64).
-#include <algorithm>
-#include <cmath>
-#include <cstdint>
-#include <cstring>
-#include <type_traits>
+#include "score_impl.h"
 
 namespace {
 
-template <typename T>
-struct PointsView {
-    const T* counts;
-    const int64_t* mags;
-    const int64_t* lengths;
-    const double* stddevs;
-    const double* self_dots;  // sum of squared counts per point (may be null)
-    int64_t dim;
-    const T* row(int64_t i) const { return counts + i * dim; }
-};
-
-// ---- exact per-feature loops (Feature.cpp accumulation order) -------------
-
-template <typename T>
-double f_hellinger(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double ap = (double)v.mags[a] / v.dim, aq = (double)v.mags[b] / v.dim;
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        double d = std::sqrt(p[i] / ap) - std::sqrt(q[i] / aq);
-        sum += d * d;
-    }
-    return std::sqrt(2 * sum);
-}
-
-template <typename T>
-double f_manhattan(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    int64_t sum = 0;
-    for (int64_t i = 0; i < v.dim; i++)
-        sum += p[i] > q[i] ? (int64_t)p[i] - q[i] : (int64_t)q[i] - p[i];
-    return (double)sum;
-}
-
-template <typename T>
-double f_euclidean(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        int64_t d = (int64_t)p[i] - (int64_t)q[i];
-        sum += (uint64_t)(d * d);
-    }
-    return std::sqrt((double)sum);
-}
-
-template <typename T>
-double f_chi2(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        double d = (double)p[i] - (double)q[i];
-        sum += d * d / ((double)p[i] + (double)q[i]);
-    }
-    return sum;
-}
-
-template <typename T>
-double f_normvec(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t dot = 0, d1 = 0, d2 = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        dot += (uint64_t)p[i] * q[i];
-        d1 += (uint64_t)p[i] * p[i];
-        d2 += (uint64_t)q[i] * q[i];
-    }
-    return (double)dot / std::sqrt((double)d1 * (double)d2);
-}
-
-template <typename T>
-double f_harmonic(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++)
-        sum += (double)((uint64_t)p[i] * q[i]) / ((double)p[i] + (double)q[i]);
-    return 2 * sum;
-}
-
-template <typename T>
-double f_jefferey(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double mp = (double)v.mags[a], mq = (double)v.mags[b];
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        double pp = p[i] / mp, pq = q[i] / mq;
-        sum += (pp - pq) * std::log(pp / pq);
-    }
-    return sum;
-}
-
-template <typename T>
-double f_kdiv(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double mp = (double)v.mags[a], mq = (double)v.mags[b];
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        double pp = p[i] / mp, pq = q[i] / mq;
-        sum += pp * std::log(pp / (0.5 * (pp + pq)));
-    }
-    return sum;
-}
-
-template <typename T>
-double f_pearson(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double ap = (double)v.mags[a] / v.dim, aq = (double)v.mags[b] / v.dim;
-    double dot = 0, np_ = 0, nq = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        double dp = p[i] - ap, dq = q[i] - aq;
-        np_ += dp * dp;
-        nq += dq * dq;
-        dot += dp * dq;
-    }
-    return dot / std::sqrt(np_ * nq);
-}
-
-template <typename T>
-double f_sqchord(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++)
-        sum += (double)p[i] + q[i] - 2 * std::sqrt((double)p[i] * q[i]);
-    return sum;
-}
-
-template <typename T>
-double f_klcond(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t s4p = 0, s4q = 0;
-    double op = 0, oq = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        s4p += p[i];
-        s4q += q[i];
-        if (i % 4 == 3) {
-            double ip = 0, iq = 0;
-            for (int64_t j = i - 3; j <= i; j++) {
-                double cp = (double)p[j] / s4p, cq = (double)q[j] / s4q;
-                double lg = std::log(cp / cq);
-                ip += cp * lg;
-                iq += -cq * lg;
-            }
-            op += s4p * ip;
-            oq += s4q * iq;
-            s4p = s4q = 0;
-        }
-    }
-    return (op / v.mags[a] + oq / v.mags[b]) / 2.0;
-}
-
-template <typename T>
-double f_intersection(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t dist = 0;
-    for (int64_t i = 0; i < v.dim; i++)
-        dist += 2 * (uint64_t)std::min(p[i], q[i]);
-    return (double)dist / (double)(v.mags[a] + v.mags[b]);
-}
-
-template <typename T>
-double f_emd(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t cp = 0, cq = 0, dist = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        cp += p[i];
-        cq += q[i];
-        dist += cp > cq ? cp - cq : cq - cp;
-    }
-    return (double)dist;
-}
-
-template <typename T>
-double f_lengthd(const PointsView<T>& v, int64_t a, int64_t b) {
-    int64_t lp = v.lengths[a], lq = v.lengths[b];
-    return (double)(lp > lq ? lp - lq : lq - lp);
-}
-
-template <typename T>
-double f_mismatch(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) sum += (p[i] != q[i]);
-    return (double)sum;
-}
-
-template <typename T>
-double f_canberra(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        int64_t num = p[i] > q[i] ? (int64_t)p[i] - q[i] : (int64_t)q[i] - p[i];
-        sum += (double)num / ((double)p[i] + q[i]);
-    }
-    return sum;
-}
-
-template <typename T>
-double f_kul1(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        int64_t num = p[i] > q[i] ? (int64_t)p[i] - q[i] : (int64_t)q[i] - p[i];
-        sum += (double)num / std::min(p[i], q[i]);
-    }
-    return sum;
-}
-
-template <typename T>
-double f_kul2(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t min_sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) min_sum += std::min(p[i], q[i]);
-    double ap = (double)v.mags[a] / v.dim, aq = (double)v.mags[b] / v.dim;
-    double coeff = v.dim * (ap + aq) / (2 * ap * aq);
-    return coeff * min_sum;
-}
-
-template <typename T>
-double f_simratio(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t dot = 0, norm2 = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        int64_t diff = (int64_t)p[i] - (int64_t)q[i];
-        dot += (uint64_t)p[i] * q[i];
-        norm2 += (uint64_t)(diff * diff);
-    }
-    return (double)dot / ((double)dot + std::sqrt((double)norm2));
-}
-
-template <typename T>
-double f_js(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double mp = (double)v.mags[a], mq = (double)v.mags[b];
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        double pp = p[i] / mp, pq = q[i] / mq;
-        double avg = 0.5 * (pp + pq);
-        sum += pp * std::log(pp / avg) + pq * std::log(pq / avg);
-    }
-    return sum / 2;
-}
-
-template <typename T>
-double f_d2z(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double ap = (double)v.mags[a] / v.dim, aq = (double)v.mags[b] / v.dim;
-    double sp = v.stddevs[a], sq = v.stddevs[b];
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++)
-        sum += ((p[i] - ap) / sp) * ((q[i] - aq) / sq);
-    return sum;
-}
-
-template <typename T>
-double f_euclidean_z(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    double ap = (double)v.mags[a] / v.dim, aq = (double)v.mags[b] / v.dim;
-    double sp = v.stddevs[a], sq = v.stddevs[b];
-    double sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) {
-        double d = (p[i] - ap) / sp - (q[i] - aq) / sq;
-        sum += d * d;
-    }
-    return std::sqrt(sum);
-}
-
-template <typename T>
-double f_jaccard(const PointsView<T>& v, int64_t a, int64_t b) {
-    const T* p = v.row(a);
-    const T* q = v.row(b);
-    uint64_t sum = 0;
-    for (int64_t i = 0; i < v.dim; i++) sum += (p[i] == q[i] && p[i] > 1);
-    return (double)sum / v.dim;
-}
-
-template <typename T>
-using feat_fn = double (*)(const PointsView<T>&, int64_t, int64_t);
-
-template <typename T>
-feat_fn<T> dispatch(int32_t id) {
-    switch (id) {
-        case 1: return f_hellinger<T>;
-        case 2: return f_manhattan<T>;
-        case 3: return f_euclidean<T>;
-        case 4: return f_chi2<T>;
-        case 5: return f_normvec<T>;
-        case 6: return f_harmonic<T>;
-        case 7: return f_jefferey<T>;
-        case 8: return f_kdiv<T>;
-        case 9: return f_pearson<T>;
-        case 10: return f_sqchord<T>;
-        case 11: return f_klcond<T>;
-        case 13: return f_intersection<T>;
-        case 15: return f_d2z<T>;
-        case 17: return f_euclidean_z<T>;
-        case 18: return f_emd<T>;
-        case 20: return f_jaccard<T>;
-        case 21: return f_lengthd<T>;
-        case 24: return f_mismatch<T>;
-        case 25: return f_canberra<T>;
-        case 26: return f_kul1<T>;
-        case 27: return f_kul2<T>;
-        case 28: return f_simratio<T>;
-        case 29: return f_js<T>;
-        default: return nullptr;
-    }
-}
-
-// features derivable from the fused statistics
-inline bool fused_derivable(int32_t id) {
-    switch (id) {
-        case 2: case 3: case 5: case 9: case 13: case 15: case 17:
-        case 18: case 21: case 27: case 28:
-            return true;
-        default:
-            return false;
-    }
-}
-
-struct ModelSpec {
-    const int32_t* single_ids;
-    const double* mins;
-    const double* maxs;
-    const uint8_t* is_sim;
-    int32_t n_singles;
-    const int32_t* combo_kinds;
-    const int32_t* combo_idx0;
-    const int32_t* combo_idx1;
-    int32_t n_combos;
-    const double* weights;
-    double bias;
-    int32_t raw_sum;  // 1: emit the linear sum (regression head,
-                      // Predictor.cpp:283-300) instead of logistic+bias
-};
-
-inline void decide(const ModelSpec& m, const double* cache, double* out_prob,
-                   double* out_dist) {
-    double norm[64];
-    for (int32_t s = 0; s < m.n_singles; s++) {
-        double val = (cache[s] - m.mins[s]) / (m.maxs[s] - m.mins[s]);
-        norm[s] = m.is_sim[s] ? val : 1.0 - val;
-    }
-    double sum = m.weights[0];
-    double dist = 0;
-    for (int32_t c = 0; c < m.n_combos; c++) {
-        double x = norm[m.combo_idx0[c]];
-        double y = m.combo_idx1[c] >= 0 ? norm[m.combo_idx1[c]] : 1.0;
-        double val;
-        switch (m.combo_kinds[c]) {
-            case 0: val = x * y; break;
-            case 1: val = x * y * y; break;
-            case 2: val = x * x * y; break;
-            default: val = x * x * y * y; break;
-        }
-        if (c == 0) dist = val;
-        sum += m.weights[c + 1] * val;
-    }
-    *out_prob = m.raw_sum ? sum : 1.0 / (1.0 + std::exp(-sum)) + m.bias;
-    *out_dist = dist;
-}
-
-template <typename T>
-void exact_pair(const PointsView<T>& v, const ModelSpec& m, feat_fn<T>* fns,
-                int64_t a, int64_t b, double* out_prob, double* out_dist) {
-    double cache[64];
-    for (int32_t s = 0; s < m.n_singles; s++) cache[s] = fns[s](v, a, b);
-    decide(m, cache, out_prob, out_dist);
-}
-
-// one fused pass over a pair: integer sufficient statistics
-template <typename T>
-inline void fused_stats(const T* p, const T* q, int64_t dim, bool need_logs,
-                        double mp, double mq, uint64_t* o_summin,
-                        uint64_t* o_dot, uint64_t* o_emd, double* o_jd,
-                        double* o_js) {
-    uint64_t summin = 0, dot = 0, emd = 0;
-    uint64_t cp = 0, cq = 0;
-    double jd = 0, js = 0;
-    if (need_logs) {
-        for (int64_t i = 0; i < dim; i++) {
-            uint64_t pi = p[i], qi = q[i];
-            summin += std::min(pi, qi);
-            dot += pi * qi;
-            cp += pi;
-            cq += qi;
-            emd += cp > cq ? cp - cq : cq - cp;
-            double pp = pi / mp, pq = qi / mq;
-            double avg = 0.5 * (pp + pq);
-            jd += (pp - pq) * std::log(pp / pq);
-            js += pp * std::log(pp / avg) + pq * std::log(pq / avg);
-        }
-    } else {
-        for (int64_t i = 0; i < dim; i++) {
-            uint64_t pi = p[i], qi = q[i];
-            summin += std::min(pi, qi);
-            dot += pi * qi;
-            cp += pi;
-            cq += qi;
-            emd += cp > cq ? cp - cq : cq - cp;
-        }
-    }
-    *o_summin = summin;
-    *o_dot = dot;
-    *o_emd = emd;
-    *o_jd = jd;
-    *o_js = js / 2;
-}
-
-#if defined(__AVX2__)
-#include <immintrin.h>
-
-// in-register inclusive prefix sum of 8 packed i32
-static inline __m256i prefix8_epi32(__m256i x) {
-    x = _mm256_add_epi32(x, _mm256_slli_si256(x, 4));
-    x = _mm256_add_epi32(x, _mm256_slli_si256(x, 8));
-    __m256i t = _mm256_permute2x128_si256(x, x, 0x08);  // [0, low128]
-    t = _mm256_shuffle_epi32(t, 0xFF);                  // [0, bcast(low[3])]
-    return _mm256_add_epi32(x, t);
-}
-
-// EMD = sum_i |prefix_i(p - q)| vectorized over 8-lane blocks
-static inline uint64_t emd_u8_avx2(const uint8_t* p, const uint8_t* q,
-                                   int64_t dim) {
-    __m256i base = _mm256_setzero_si256();
-    uint64_t emd = 0;
-    int64_t i = 0;
-    if (dim <= 8192) {
-        // |prefix| <= 255*dim and there are dim/8 block sums per lane, so
-        // per-lane totals stay under 255*dim^2/8 < 2^31: accumulate abs in
-        // i32 lanes directly (saves the per-iteration widening to i64)
-        __m256i acc = _mm256_setzero_si256();
-        for (; i + 8 <= dim; i += 8) {
-            __m256i pv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(p + i)));
-            __m256i qv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(q + i)));
-            __m256i d = _mm256_sub_epi32(pv, qv);
-            __m256i pre = _mm256_add_epi32(prefix8_epi32(d), base);
-            base = _mm256_permutevar8x32_epi32(pre, _mm256_set1_epi32(7));
-            acc = _mm256_add_epi32(acc, _mm256_abs_epi32(pre));
-        }
-        int32_t l8[8];
-        _mm256_storeu_si256((__m256i*)l8, acc);
-        for (int j = 0; j < 8; j++) emd += (uint64_t)(uint32_t)l8[j];
-    } else {
-        __m256i acc0 = _mm256_setzero_si256();  // 4 x i64
-        __m256i acc1 = _mm256_setzero_si256();
-        for (; i + 8 <= dim; i += 8) {
-            __m256i pv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(p + i)));
-            __m256i qv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(q + i)));
-            __m256i d = _mm256_sub_epi32(pv, qv);
-            __m256i pre = _mm256_add_epi32(prefix8_epi32(d), base);
-            base = _mm256_permutevar8x32_epi32(pre, _mm256_set1_epi32(7));
-            __m256i a = _mm256_abs_epi32(pre);
-            acc0 = _mm256_add_epi64(acc0,
-                                    _mm256_cvtepu32_epi64(_mm256_castsi256_si128(a)));
-            acc1 = _mm256_add_epi64(acc1,
-                                    _mm256_cvtepu32_epi64(_mm256_extracti128_si256(a, 1)));
-        }
-        int64_t lanes[4];
-        acc0 = _mm256_add_epi64(acc0, acc1);
-        _mm256_storeu_si256((__m256i*)lanes, acc0);
-        emd = (uint64_t)(lanes[0] + lanes[1] + lanes[2] + lanes[3]);
-    }
-    int32_t prefix = _mm256_extract_epi32(base, 7);
-    for (; i < dim; i++) {
-        prefix += (int32_t)p[i] - (int32_t)q[i];
-        emd += (uint64_t)(prefix < 0 ? -prefix : prefix);
-    }
-    return emd;
-}
-#endif
-
-// uint8 specialization: narrow accumulators the compiler can vectorize.
-// min/sum/dot stay in uint32 (safe: dim <= 4^8 = 65536 with values <= 255
-// keeps dot < 2^32); the EMD prefix scan is hand-vectorized when AVX2 is
-// available.  need_emd gates the prefix scan (it is the expensive part).
-static inline void fused_stats_u8(const uint8_t* p, const uint8_t* q,
-                                  int64_t dim, bool need_logs, bool need_emd,
-                                  double mp, double mq, uint64_t* o_summin,
-                                  uint64_t* o_dot, uint64_t* o_emd,
-                                  double* o_jd, double* o_js) {
-    uint64_t summin = 0;
-    uint64_t dot = 0;
-    int64_t i0 = 0;
-#if defined(__AVX2__)
-    {
-        __m256i zero = _mm256_setzero_si256();
-        __m256i min_acc = zero;                 // 4 x u64 via SAD
-        __m256i dot_acc = zero;                 // 8 x i32 via madd
-        for (; i0 + 32 <= dim; i0 += 32) {
-            __m256i pv = _mm256_loadu_si256((const __m256i*)(p + i0));
-            __m256i qv = _mm256_loadu_si256((const __m256i*)(q + i0));
-            // sum of per-byte minima: SAD against zero sums unsigned bytes
-            __m256i mn = _mm256_min_epu8(pv, qv);
-            min_acc = _mm256_add_epi64(min_acc, _mm256_sad_epu8(mn, zero));
-            // dot: widen bytes to u16 and multiply-add into i32 lanes
-            __m256i plo = _mm256_unpacklo_epi8(pv, zero);
-            __m256i phi = _mm256_unpackhi_epi8(pv, zero);
-            __m256i qlo = _mm256_unpacklo_epi8(qv, zero);
-            __m256i qhi = _mm256_unpackhi_epi8(qv, zero);
-            dot_acc = _mm256_add_epi32(dot_acc, _mm256_madd_epi16(plo, qlo));
-            dot_acc = _mm256_add_epi32(dot_acc, _mm256_madd_epi16(phi, qhi));
-        }
-        uint64_t mn4[4];
-        _mm256_storeu_si256((__m256i*)mn4, min_acc);
-        summin = mn4[0] + mn4[1] + mn4[2] + mn4[3];
-        int32_t d8[8];
-        _mm256_storeu_si256((__m256i*)d8, dot_acc);
-        for (int j = 0; j < 8; j++) dot += (uint64_t)(uint32_t)d8[j];
-    }
-#endif
-    for (int64_t i = i0; i < dim; i++) {
-        uint64_t pi = p[i], qi = q[i];
-        summin += pi < qi ? pi : qi;
-        dot += pi * qi;
-    }
-    uint64_t emd = 0;
-    if (need_emd) {
-#if defined(__AVX2__)
-        emd = emd_u8_avx2(p, q, dim);
-#else
-        int32_t prefix = 0;
-        for (int64_t i = 0; i < dim; i++) {
-            prefix += (int32_t)p[i] - (int32_t)q[i];
-            emd += (uint64_t)(prefix < 0 ? -prefix : prefix);
-        }
-#endif
-    }
-    double jd = 0, js = 0;
-    if (need_logs) {
-        for (int64_t i = 0; i < dim; i++) {
-            double pp = p[i] / mp, pq = q[i] / mq;
-            double avg = 0.5 * (pp + pq);
-            jd += (pp - pq) * std::log(pp / pq);
-            js += pp * std::log(pp / avg) + pq * std::log(pq / avg);
-        }
-    }
-    *o_summin = summin;
-    *o_dot = dot;
-    *o_emd = emd;
-    *o_jd = jd;
-    *o_js = js / 2;
-}
+using mc2::ModelSpec;
+using mc2::PointsView;
+using mc2::ScorePlan;
 
 template <typename T>
 int score_block_t(const T* counts, const int64_t* mags, const int64_t* lengths,
                   const double* stddevs, const double* self_dots, int64_t dim,
                   const int64_t* a_rows, const int64_t* b_rows, int64_t n_pairs,
                   const ModelSpec& m, double* out_prob, double* out_dist) {
-    feat_fn<T> fns[64];
-    bool fused_ok = true;
-    bool need_logs = false;
-    bool need_emd = false;
-    for (int32_t s = 0; s < m.n_singles; s++) {
-        fns[s] = dispatch<T>(m.single_ids[s]);
-        if (!fns[s]) return -1;
-        if (m.single_ids[s] == 18) need_emd = true;
-        if (!fused_derivable(m.single_ids[s])) {
-            if (m.single_ids[s] == 7 || m.single_ids[s] == 29)
-                need_logs = true;  // jefferey / jensen-shannon join the pass
-            else
-                fused_ok = false;
-        }
-    }
-    if (self_dots == nullptr) fused_ok = false;
     PointsView<T> v{counts, mags, lengths, stddevs, self_dots, dim};
-
-    if (!fused_ok) {
-#pragma omp parallel for schedule(dynamic, 16)
-        for (int64_t pi = 0; pi < n_pairs; pi++)
-            exact_pair(v, m, fns, a_rows[pi], b_rows[pi], &out_prob[pi],
-                       &out_dist[pi]);
-        return 0;
-    }
-
-#pragma omp parallel for schedule(dynamic, 64)
-    for (int64_t pi = 0; pi < n_pairs; pi++) {
-        int64_t a = a_rows[pi], b = b_rows[pi];
-        double mp = (double)mags[a], mq = (double)mags[b];
-        uint64_t summin, dot, emd;
-        double jd, js;
-        if constexpr (std::is_same<T, uint8_t>::value) {
-            fused_stats_u8(v.row(a), v.row(b), dim, need_logs, need_emd, mp,
-                           mq, &summin, &dot, &emd, &jd, &js);
-        } else {
-            fused_stats(v.row(a), v.row(b), dim, need_logs, mp, mq, &summin,
-                        &dot, &emd, &jd, &js);
-        }
-        double selfA = self_dots[a], selfB = self_dots[b];
-        double ap = mp / dim, aq = mq / dim;
-        double norm2 = selfA + selfB - 2.0 * (double)dot;
-        double cache[64];
-        for (int32_t s = 0; s < m.n_singles; s++) {
-            switch (m.single_ids[s]) {
-                case 2:  // manhattan = magA + magB - 2*summin
-                    cache[s] = (double)(mags[a] + mags[b] - 2 * (int64_t)summin);
-                    break;
-                case 3:
-                    cache[s] = std::sqrt(norm2);
-                    break;
-                case 5:
-                    cache[s] = (double)dot / std::sqrt(selfA * selfB);
-                    break;
-                case 9: {
-                    double cov = (double)dot - dim * ap * aq;
-                    double na = selfA - dim * ap * ap;
-                    double nb = selfB - dim * aq * aq;
-                    cache[s] = cov / std::sqrt(na * nb);
-                    break;
-                }
-                case 13:
-                    cache[s] = 2.0 * (double)summin / (mp + mq);
-                    break;
-                case 15: {
-                    double cov = (double)dot - dim * ap * aq;
-                    cache[s] = cov / (stddevs[a] * stddevs[b]);
-                    break;
-                }
-                case 17: {
-                    double cov = (double)dot - dim * ap * aq;
-                    double na = (selfA - dim * ap * ap) / (stddevs[a] * stddevs[a]);
-                    double nb = (selfB - dim * aq * aq) / (stddevs[b] * stddevs[b]);
-                    double dz = cov / (stddevs[a] * stddevs[b]);
-                    cache[s] = std::sqrt(na + nb - 2 * dz);
-                    break;
-                }
-                case 18:
-                    cache[s] = (double)emd;
-                    break;
-                case 21:
-                    cache[s] = f_lengthd(v, a, b);
-                    break;
-                case 27: {
-                    double coeff = dim * (ap + aq) / (2 * ap * aq);
-                    cache[s] = coeff * (double)summin;
-                    break;
-                }
-                case 28:
-                    cache[s] = (double)dot / ((double)dot + std::sqrt(norm2));
-                    break;
-                case 7:
-                    cache[s] = jd;
-                    break;
-                case 29:
-                    cache[s] = js;
-                    break;
-            }
-        }
-        decide(m, cache, &out_prob[pi], &out_dist[pi]);
-    }
-
-    // exact recompute of borderline decisions: probability within 1e-6 of a
-    // rounding threshold, or dist within a relative band of the block max
-    // (the engine argmaxes dist with reference tie semantics).
-    double dmax = -1e300;
-    for (int64_t pi = 0; pi < n_pairs; pi++)
-        if (out_dist[pi] > dmax) dmax = out_dist[pi];
-    double band = 1e-9 * std::max(std::fabs(dmax), 1.0) + 1e-12;
-#pragma omp parallel for schedule(dynamic, 64)
-    for (int64_t pi = 0; pi < n_pairs; pi++) {
-        double frac = out_prob[pi] - std::floor(out_prob[pi]);
-        bool borderline = std::fabs(frac - 0.5) < 1e-6;
-        borderline |= out_dist[pi] >= dmax - band;
-        if (borderline)
-            exact_pair(v, m, fns, a_rows[pi], b_rows[pi], &out_prob[pi],
-                       &out_dist[pi]);
-    }
+    ScorePlan<T> plan;
+    if (!plan.build(m, self_dots)) return -1;
+    mc2::score_pairs(v, m, plan, a_rows, b_rows, /*b_stride=*/1, n_pairs,
+                     out_prob, out_dist);
     return 0;
 }
 
@@ -727,7 +51,7 @@ extern "C" {
 // Returns 0 on success, -1 if a feature id is unsupported.
 int supports_features(const int32_t* ids, int32_t n) {
     for (int32_t i = 0; i < n; i++)
-        if (!dispatch<uint32_t>(ids[i])) return -1;
+        if (!mc2::dispatch<uint32_t>(ids[i])) return -1;
     return 0;
 }
 
@@ -775,9 +99,9 @@ int raw_singles(
     if (elem_width != 1 && elem_width != 2 && elem_width != 4) return -1;
 #define RAW_BODY(T)                                                         \
     {                                                                       \
-        feat_fn<T> fns[64];                                                 \
+        mc2::feat_fn<T> fns[64];                                            \
         for (int32_t s = 0; s < n_singles; s++) {                           \
-            fns[s] = dispatch<T>(single_ids[s]);                           \
+            fns[s] = mc2::dispatch<T>(single_ids[s]);                       \
             if (!fns[s]) return -1;                                         \
         }                                                                   \
         PointsView<T> v{(const T*)counts, mags, lengths, stddevs, nullptr,  \
