@@ -446,71 +446,150 @@ inline void fused_stats(const T* p, const T* q, int64_t dim, bool need_logs,
     *o_js = js / 2;
 }
 
+// EMD = sum_i |prefix_i(p - q)|.  The prefix is a loop-carried dependency;
+// the AVX2 kernels process 16 elements per step with the block-local prefix
+// computed in i16 lanes (16 u8 diffs bound the local prefix by 4080, exact
+// in i16), then widen to i32 and chain through the running base.  Per-lane
+// i32 abs accumulation is exact for dim <= 8192 (|prefix| <= 255*dim with
+// 2*dim/16 terms per lane keeps totals under 2^31); larger dims take the
+// scalar path below (dim = 4^k <= 65536 only at k = 8, where u8 histograms
+// are near-saturated anyway and the fused path is rarely selected).
 #if defined(__AVX2__)
 
-// in-register inclusive prefix sum of 8 packed i32
-static inline __m256i prefix8_epi32(__m256i x) {
-    x = _mm256_add_epi32(x, _mm256_slli_si256(x, 4));
-    x = _mm256_add_epi32(x, _mm256_slli_si256(x, 8));
-    __m256i t = _mm256_permute2x128_si256(x, x, 0x08);  // [0, low128]
-    t = _mm256_shuffle_epi32(t, 0xFF);                  // [0, bcast(low[3])]
-    return _mm256_add_epi32(x, t);
+// one in-lane inclusive prefix step over 16 i16 diffs: after the three
+// shift-adds each 128-bit lane holds its own local prefix of 8 elements
+static inline __m256i local_prefix16_epi16(__m256i d) {
+    d = _mm256_add_epi16(d, _mm256_slli_si256(d, 2));
+    d = _mm256_add_epi16(d, _mm256_slli_si256(d, 4));
+    return _mm256_add_epi16(d, _mm256_slli_si256(d, 8));
 }
 
-// EMD = sum_i |prefix_i(p - q)| vectorized over 8-lane blocks
 static inline uint64_t emd_u8_avx2(const uint8_t* p, const uint8_t* q,
                                    int64_t dim) {
-    __m256i base = _mm256_setzero_si256();
     uint64_t emd = 0;
     int64_t i = 0;
+    int32_t prefix = 0;
     if (dim <= 8192) {
-        // |prefix| <= 255*dim and there are dim/8 block sums per lane, so
-        // per-lane totals stay under 255*dim^2/8 < 2^31: accumulate abs in
-        // i32 lanes directly (saves the per-iteration widening to i64)
+        __m256i base = _mm256_setzero_si256();
         __m256i acc = _mm256_setzero_si256();
-        for (; i + 8 <= dim; i += 8) {
-            __m256i pv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(p + i)));
-            __m256i qv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(q + i)));
-            __m256i d = _mm256_sub_epi32(pv, qv);
-            __m256i pre = _mm256_add_epi32(prefix8_epi32(d), base);
-            base = _mm256_permutevar8x32_epi32(pre, _mm256_set1_epi32(7));
-            acc = _mm256_add_epi32(acc, _mm256_abs_epi32(pre));
+        const __m256i seven = _mm256_set1_epi32(7);
+        for (; i + 16 <= dim; i += 16) {
+            __m256i pv = _mm256_cvtepu8_epi16(
+                _mm_loadu_si128((const __m128i*)(p + i)));
+            __m256i qv = _mm256_cvtepu8_epi16(
+                _mm_loadu_si128((const __m128i*)(q + i)));
+            __m256i d = local_prefix16_epi16(_mm256_sub_epi16(pv, qv));
+            __m256i lo32 = _mm256_cvtepi16_epi32(_mm256_castsi256_si128(d));
+            __m256i hi32 = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(d, 1));
+            __m256i pre_lo = _mm256_add_epi32(lo32, base);
+            __m256i lo_tot = _mm256_permutevar8x32_epi32(pre_lo, seven);
+            __m256i pre_hi = _mm256_add_epi32(hi32, lo_tot);
+            base = _mm256_permutevar8x32_epi32(pre_hi, seven);
+            acc = _mm256_add_epi32(acc, _mm256_abs_epi32(pre_lo));
+            acc = _mm256_add_epi32(acc, _mm256_abs_epi32(pre_hi));
         }
         int32_t l8[8];
         _mm256_storeu_si256((__m256i*)l8, acc);
         for (int j = 0; j < 8; j++) emd += (uint64_t)(uint32_t)l8[j];
-    } else {
-        __m256i acc0 = _mm256_setzero_si256();  // 4 x i64
-        __m256i acc1 = _mm256_setzero_si256();
-        for (; i + 8 <= dim; i += 8) {
-            __m256i pv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(p + i)));
-            __m256i qv = _mm256_cvtepu8_epi32(
-                _mm_loadl_epi64((const __m128i*)(q + i)));
-            __m256i d = _mm256_sub_epi32(pv, qv);
-            __m256i pre = _mm256_add_epi32(prefix8_epi32(d), base);
-            base = _mm256_permutevar8x32_epi32(pre, _mm256_set1_epi32(7));
-            __m256i a = _mm256_abs_epi32(pre);
-            acc0 = _mm256_add_epi64(acc0,
-                                    _mm256_cvtepu32_epi64(_mm256_castsi256_si128(a)));
-            acc1 = _mm256_add_epi64(acc1,
-                                    _mm256_cvtepu32_epi64(_mm256_extracti128_si256(a, 1)));
-        }
-        int64_t lanes[4];
-        acc0 = _mm256_add_epi64(acc0, acc1);
-        _mm256_storeu_si256((__m256i*)lanes, acc0);
-        emd = (uint64_t)(lanes[0] + lanes[1] + lanes[2] + lanes[3]);
+        prefix = _mm256_extract_epi32(base, 7);
     }
-    int32_t prefix = _mm256_extract_epi32(base, 7);
     for (; i < dim; i++) {
         prefix += (int32_t)p[i] - (int32_t)q[i];
         emd += (uint64_t)(prefix < 0 ? -prefix : prefix);
     }
     return emd;
 }
+
+// two interleaved EMD chains: the base update is a serial dependency, so a
+// single chain leaves execution ports idle — pairing two independent pairs
+// in one loop hides that latency (~1.2x on top of the i16 step).
+static inline void emd_u8_avx2_x2(const uint8_t* p0, const uint8_t* q0,
+                                  const uint8_t* p1, const uint8_t* q1,
+                                  int64_t dim, uint64_t* e0, uint64_t* e1) {
+    if (dim > 8192) {
+        *e0 = emd_u8_avx2(p0, q0, dim);
+        *e1 = emd_u8_avx2(p1, q1, dim);
+        return;
+    }
+    __m256i base0 = _mm256_setzero_si256(), base1 = _mm256_setzero_si256();
+    __m256i acc0 = _mm256_setzero_si256(), acc1 = _mm256_setzero_si256();
+    const __m256i seven = _mm256_set1_epi32(7);
+    int64_t i = 0;
+    for (; i + 16 <= dim; i += 16) {
+        __m256i pv0 = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(p0 + i)));
+        __m256i qv0 = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(q0 + i)));
+        __m256i pv1 = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(p1 + i)));
+        __m256i qv1 = _mm256_cvtepu8_epi16(
+            _mm_loadu_si128((const __m128i*)(q1 + i)));
+        __m256i d0 = local_prefix16_epi16(_mm256_sub_epi16(pv0, qv0));
+        __m256i d1 = local_prefix16_epi16(_mm256_sub_epi16(pv1, qv1));
+        __m256i lo0 = _mm256_cvtepi16_epi32(_mm256_castsi256_si128(d0));
+        __m256i hi0 = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(d0, 1));
+        __m256i lo1 = _mm256_cvtepi16_epi32(_mm256_castsi256_si128(d1));
+        __m256i hi1 = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(d1, 1));
+        __m256i pl0 = _mm256_add_epi32(lo0, base0);
+        __m256i pl1 = _mm256_add_epi32(lo1, base1);
+        __m256i lt0 = _mm256_permutevar8x32_epi32(pl0, seven);
+        __m256i lt1 = _mm256_permutevar8x32_epi32(pl1, seven);
+        __m256i ph0 = _mm256_add_epi32(hi0, lt0);
+        __m256i ph1 = _mm256_add_epi32(hi1, lt1);
+        base0 = _mm256_permutevar8x32_epi32(ph0, seven);
+        base1 = _mm256_permutevar8x32_epi32(ph1, seven);
+        acc0 = _mm256_add_epi32(acc0, _mm256_abs_epi32(pl0));
+        acc0 = _mm256_add_epi32(acc0, _mm256_abs_epi32(ph0));
+        acc1 = _mm256_add_epi32(acc1, _mm256_abs_epi32(pl1));
+        acc1 = _mm256_add_epi32(acc1, _mm256_abs_epi32(ph1));
+    }
+    int32_t l0[8], l1[8];
+    _mm256_storeu_si256((__m256i*)l0, acc0);
+    _mm256_storeu_si256((__m256i*)l1, acc1);
+    uint64_t s0 = 0, s1 = 0;
+    for (int j = 0; j < 8; j++) {
+        s0 += (uint32_t)l0[j];
+        s1 += (uint32_t)l1[j];
+    }
+    int32_t pr0 = _mm256_extract_epi32(base0, 7);
+    int32_t pr1 = _mm256_extract_epi32(base1, 7);
+    for (; i < dim; i++) {
+        pr0 += (int32_t)p0[i] - (int32_t)q0[i];
+        s0 += (uint64_t)(pr0 < 0 ? -pr0 : pr0);
+        pr1 += (int32_t)p1[i] - (int32_t)q1[i];
+        s1 += (uint64_t)(pr1 < 0 ? -pr1 : pr1);
+    }
+    *e0 = s0;
+    *e1 = s1;
+}
 #endif
+
+// EMD entry points used by the fused path (scalar fallback without AVX2)
+static inline uint64_t emd_u8(const uint8_t* p, const uint8_t* q,
+                              int64_t dim) {
+#if defined(__AVX2__)
+    return emd_u8_avx2(p, q, dim);
+#else
+    uint64_t emd = 0;
+    int32_t prefix = 0;
+    for (int64_t i = 0; i < dim; i++) {
+        prefix += (int32_t)p[i] - (int32_t)q[i];
+        emd += (uint64_t)(prefix < 0 ? -prefix : prefix);
+    }
+    return emd;
+#endif
+}
+
+static inline void emd_u8_x2(const uint8_t* p0, const uint8_t* q0,
+                             const uint8_t* p1, const uint8_t* q1,
+                             int64_t dim, uint64_t* e0, uint64_t* e1) {
+#if defined(__AVX2__)
+    emd_u8_avx2_x2(p0, q0, p1, q1, dim, e0, e1);
+#else
+    *e0 = emd_u8(p0, q0, dim);
+    *e1 = emd_u8(p1, q1, dim);
+#endif
+}
 
 // uint8 specialization: narrow accumulators the compiler can vectorize.
 // min/sum/dot stay in uint32 (safe: dim <= 4^8 = 65536 with values <= 255
@@ -557,17 +636,7 @@ static inline void fused_stats_u8(const uint8_t* p, const uint8_t* q,
         dot += pi * qi;
     }
     uint64_t emd = 0;
-    if (need_emd) {
-#if defined(__AVX2__)
-        emd = emd_u8_avx2(p, q, dim);
-#else
-        int32_t prefix = 0;
-        for (int64_t i = 0; i < dim; i++) {
-            prefix += (int32_t)p[i] - (int32_t)q[i];
-            emd += (uint64_t)(prefix < 0 ? -prefix : prefix);
-        }
-#endif
-    }
+    if (need_emd) emd = emd_u8(p, q, dim);
     double jd = 0, js = 0;
     if (need_logs) {
         for (int64_t i = 0; i < dim; i++) {
@@ -636,16 +705,18 @@ void score_pairs(const PointsView<T>& v, const ModelSpec& m,
         return;
     }
 
-#pragma omp parallel for schedule(dynamic, 64)
-    for (int64_t pi = 0; pi < n_pairs; pi++) {
+    // per-pair fused statistics + derive + decide
+    auto fused_one = [&](int64_t pi, uint64_t precomputed_emd,
+                         bool have_emd) {
         int64_t a = a_rows[pi], b = b_rows[pi * b_stride];
         double mp = (double)mags[a], mq = (double)mags[b];
         uint64_t summin, dot, emd;
         double jd, js;
         if constexpr (std::is_same<T, uint8_t>::value) {
             fused_stats_u8(v.row(a), v.row(b), dim, plan.need_logs,
-                           plan.need_emd, mp, mq, &summin, &dot, &emd, &jd,
-                           &js);
+                           plan.need_emd && !have_emd, mp, mq, &summin, &dot,
+                           &emd, &jd, &js);
+            if (have_emd) emd = precomputed_emd;
         } else {
             fused_stats(v.row(a), v.row(b), dim, plan.need_logs, mp, mq,
                         &summin, &dot, &emd, &jd, &js);
@@ -711,6 +782,36 @@ void score_pairs(const PointsView<T>& v, const ModelSpec& m,
             }
         }
         decide(m, cache, &out_prob[pi], &out_dist[pi]);
+    };
+
+    if constexpr (std::is_same<T, uint8_t>::value) {
+        if (plan.need_emd) {
+            // the EMD prefix scan is latency-bound on its serial base
+            // update; interleaving two pairs' chains per step hides it
+#pragma omp parallel for schedule(dynamic, 32)
+            for (int64_t c = 0; c < (n_pairs + 1) / 2; c++) {
+                int64_t pi = 2 * c;
+                uint64_t e0, e1;
+                if (pi + 1 < n_pairs) {
+                    emd_u8_x2(v.row(a_rows[pi]), v.row(b_rows[pi * b_stride]),
+                              v.row(a_rows[pi + 1]),
+                              v.row(b_rows[(pi + 1) * b_stride]), dim, &e0,
+                              &e1);
+                    fused_one(pi, e0, true);
+                    fused_one(pi + 1, e1, true);
+                } else {
+                    e0 = emd_u8(v.row(a_rows[pi]),
+                                v.row(b_rows[pi * b_stride]), dim);
+                    fused_one(pi, e0, true);
+                }
+            }
+        } else {
+#pragma omp parallel for schedule(dynamic, 64)
+            for (int64_t pi = 0; pi < n_pairs; pi++) fused_one(pi, 0, false);
+        }
+    } else {
+#pragma omp parallel for schedule(dynamic, 64)
+        for (int64_t pi = 0; pi < n_pairs; pi++) fused_one(pi, 0, false);
     }
 
     // exact recompute of borderline decisions: probability within 1e-6 of a
