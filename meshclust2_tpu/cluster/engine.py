@@ -494,6 +494,9 @@ class MeanShiftEngine:
         num_clusters = list(num_clusters) if num_clusters else []
         prog = Progress(self.iterations, "Update")  # ClusterFactory.cpp:634
         prog.set(start_it)
+        if self._native_update(clusters, prog, checkpoint, start_it):
+            prog.end()
+            return
         saved_scorer = self.scorer
         memo = _ScoreMemo(saved_scorer, self.ps.n)
         self.scorer = memo
@@ -520,6 +523,39 @@ class MeanShiftEngine:
             # (same semantics as the accumulate phase's cache-miss counting)
             self.stats.pairs_scored += memo.scored
             self.scorer = saved_scorer
+
+    def _native_update(self, clusters: List[Cluster], prog, checkpoint,
+                       start_it: int) -> bool:
+        """One-call native update/merge driver (native/update.cpp) — the
+        whole phase without the Python memo's sorted-array store or the
+        per-iteration numpy pair bookkeeping.  Used only on plain runs (no
+        checkpointing/resume, which need per-iteration host snapshots);
+        mutates `clusters` in place and returns True on success."""
+        import os
+
+        from ..native import NativeScorer
+
+        if checkpoint or start_it:
+            return False
+        if os.environ.get("MC2_NO_NATIVE_UPDATE"):
+            return False
+        if type(self.scorer) is not NativeScorer:
+            return False
+        res = self.scorer.update(clusters, self.sim, self.delta,
+                                 self.iterations, progress_step=prog.step)
+        if res is None:
+            return False
+        centers, offsets, members, its, pairs = res
+        self.stats.update_iterations += its
+        self.stats.pairs_scored += pairs
+        clusters[:] = [
+            Cluster(
+                center_row=int(centers[i]),
+                members=members[offsets[i]:offsets[i + 1]].tolist(),
+            )
+            for i in range(len(centers))
+        ]
+        return True
 
     def _run_fingerprint(self) -> str:
         from .checkpoint import dataset_fingerprint

@@ -20,6 +20,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "sortperm.cpp"),
     os.path.join(os.path.dirname(__file__), "score.cpp"),
     os.path.join(os.path.dirname(__file__), "accumulate.cpp"),
+    os.path.join(os.path.dirname(__file__), "update.cpp"),
     os.path.join(os.path.dirname(__file__), "count.cpp"),
     os.path.join(os.path.dirname(__file__), "viterbi.cpp"),
     os.path.join(os.path.dirname(__file__), "encode.cpp"),
@@ -100,6 +101,18 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64p, i64p, i64p, i64p,              # outputs
     ]
     lib.accumulate_run.restype = ctypes.c_int
+    lib.update_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, _f64p,
+        ctypes.c_int64, ctypes.c_int64,                  # points view
+        _i32p, _f64p, _f64p, _u8p, ctypes.c_int32,       # singles
+        _i32p, _i32p, _i32p, ctypes.c_int32,             # combos
+        _f64p, ctypes.c_double,                          # weights, bias
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int64,  # sim, delta, iters
+        i64p, i64p, i64p, ctypes.c_int64,                # input clusters
+        _PROGRESS_CB,                                    # progress callback
+        i64p, i64p, i64p, i64p, i64p, i64p,              # outputs
+    ]
+    lib.update_run.restype = ctypes.c_int
     lib.raw_singles.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, ctypes.c_int64,
         i64p, i64p, ctypes.c_int64, _i32p, ctypes.c_int32, _f64p,
@@ -705,6 +718,72 @@ class NativeScorer:
             centers[:nc],
             offsets[: nc + 1],
             members,
+            int(stats[1]),
+            int(stats[2]),
+        )
+
+    def update(self, clusters, sim: float, delta: int, iterations: int,
+               progress_step=None):
+        """Run the whole update/merge phase natively (native/update.cpp)
+        over (center_row, members) clusters.  Returns (centers,
+        member_offsets, members, iterations_run, pairs_scored) flat int64
+        arrays, or None when the native driver declines."""
+        in_centers = np.array([c.center_row for c in clusters],
+                              dtype=np.int64)
+        nc_in = len(clusters)
+        in_offsets = np.zeros(nc_in + 1, dtype=np.int64)
+        np.cumsum([len(c.members) for c in clusters], out=in_offsets[1:])
+        total = int(in_offsets[-1])
+        in_members = np.empty(total, dtype=np.int64)
+        for i, c in enumerate(clusters):
+            in_members[in_offsets[i]:in_offsets[i + 1]] = c.members
+        out_centers = np.empty(max(nc_in, 1), dtype=np.int64)
+        out_offsets = np.empty(nc_in + 1, dtype=np.int64)
+        out_members = np.empty(max(total, 1), dtype=np.int64)
+        stats = np.zeros(3, dtype=np.int64)  # n_clusters, iterations, pairs
+        if progress_step is not None:
+            cb = _PROGRESS_CB(lambda k: progress_step(k))
+        else:
+            cb = _PROGRESS_CB(0)
+        rc = self._lib.update_run(
+            self._counts.ctypes.data_as(ctypes.c_void_p),
+            self._elem_width,
+            self._mags.ctypes.data_as(_i64p),
+            self._lengths.ctypes.data_as(_i64p),
+            self._stddevs.ctypes.data_as(_f64p),
+            self._self_dots.ctypes.data_as(_f64p),
+            self._counts.shape[1], len(self._lengths),
+            self._single_ids.ctypes.data_as(_i32p),
+            self._mins.ctypes.data_as(_f64p),
+            self._maxs.ctypes.data_as(_f64p),
+            self._is_sim.ctypes.data_as(_u8p),
+            len(self._single_ids),
+            self._ck.ctypes.data_as(_i32p),
+            self._c0.ctypes.data_as(_i32p),
+            self._c1.ctypes.data_as(_i32p),
+            len(self._ck),
+            self._weights.ctypes.data_as(_f64p),
+            self._bias,
+            float(sim), int(delta), int(iterations),
+            in_centers.ctypes.data_as(_i64p),
+            in_offsets.ctypes.data_as(_i64p),
+            in_members.ctypes.data_as(_i64p),
+            nc_in,
+            cb,
+            out_centers.ctypes.data_as(_i64p),
+            out_offsets.ctypes.data_as(_i64p),
+            out_members.ctypes.data_as(_i64p),
+            stats[0:].ctypes.data_as(_i64p),
+            stats[1:].ctypes.data_as(_i64p),
+            stats[2:].ctypes.data_as(_i64p),
+        )
+        if rc != 0:
+            return None
+        nc = int(stats[0])
+        return (
+            out_centers[:nc],
+            out_offsets[: nc + 1],
+            out_members,
             int(stats[1]),
             int(stats[2]),
         )

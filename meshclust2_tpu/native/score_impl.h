@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <type_traits>
+#include <vector>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -651,6 +652,44 @@ static inline void fused_stats_u8(const uint8_t* p, const uint8_t* q,
     *o_emd = emd;
     *o_jd = jd;
     *o_js = js / 2;
+}
+
+// Member closest to the float64 arithmetic-mean histogram
+// (ClusterFactory.cpp:337-380 / DivergencePoint.cpp:54-66 with its
+// truncating uint64 mag accumulation); first strict minimum wins.  Used by
+// the accumulate and update phase drivers.
+template <typename T>
+int64_t closest_to_mean(const PointsView<T>& v,
+                        const std::vector<int64_t>& members,
+                        std::vector<double>* top_buf) {
+    int64_t dim = v.dim;
+    double* top = top_buf->data();
+    for (int64_t i = 0; i < dim; i++) top[i] = 0.0;
+    for (int64_t r : members) {
+        const T* row = v.row(r);
+        for (int64_t i = 0; i < dim; i++) top[i] += row[i];
+    }
+    double n = (double)members.size();
+    for (int64_t i = 0; i < dim; i++) top[i] /= n;
+    double best = 1e300;
+    int64_t best_row = -1;
+    for (int64_t r : members) {
+        const T* row = v.row(r);
+        uint64_t dist = 0, mag = 0;
+        for (int64_t i = 0; i < dim; i++) {
+            double rt = std::floor(top[i] + 0.5);
+            double cv = (double)row[i];
+            dist += 2 * (uint64_t)std::min(cv, rt);
+            mag += (uint64_t)(cv + top[i]);
+        }
+        double frac = (double)dist / (double)mag;
+        double d = 10000.0 * (1.0 - frac * frac);
+        if (best_row < 0 || d < best) {
+            best = d;
+            best_row = r;
+        }
+    }
+    return best_row;
 }
 
 // Per-model dispatch state resolved once per batch (feature table, fused

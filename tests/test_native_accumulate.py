@@ -91,3 +91,31 @@ def test_native_accumulate_small_bins(fixtures_dir):
     py = run(True)
     assert [c.center_row for c in nat] == [c.center_row for c in py]
     assert [list(c.members) for c in nat] == [list(c.members) for c in py]
+
+
+def test_native_update_matches_python(fixtures_dir):
+    """The native update/merge driver (native/update.cpp) must produce the
+    same final clusters, member order, and statistics as the Python
+    update_phase (memo path) from the same accumulated state."""
+    import copy
+
+    ps, model, w = _load(fixtures_dir)
+    clusters, _ = _accumulate(ps, model, w.id_cutoff, force_python=False)
+    scorer = NativeScorer.create(ps, model)
+
+    def run_update(cl, force_python):
+        eng = MeanShiftEngine(ps, model, w.id_cutoff, scorer=scorer)
+        if force_python:
+            os.environ["MC2_NO_NATIVE_UPDATE"] = "1"
+        try:
+            eng.update_phase(cl)
+        finally:
+            os.environ.pop("MC2_NO_NATIVE_UPDATE", None)
+        return cl, eng.stats
+
+    nat, nat_stats = run_update(copy.deepcopy(clusters), False)
+    py, py_stats = run_update(copy.deepcopy(clusters), True)
+    assert [c.center_row for c in nat] == [c.center_row for c in py]
+    assert [list(c.members) for c in nat] == [list(c.members) for c in py]
+    assert nat_stats.update_iterations == py_stats.update_iterations
+    assert nat_stats.pairs_scored == py_stats.pairs_scored
