@@ -281,6 +281,10 @@ def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:
 
     single_file=True joins every record with 50 'N's into one record keeping
     the first header (ChromListMaker.cpp:117-165)."""
+    if not single_file:
+        fast = _read_fasta_fast(path)
+        if fast is not None:
+            return fast
     records = list(iter_fasta(path))
     if not records:
         return []
@@ -289,6 +293,108 @@ def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:
         joined = ("N" * 50).join(seq for _, seq in records)
         records = [(header, joined)]
     return encode_records(records)
+
+
+def _parse_fast(data: bytes):
+    """Vectorized whole-buffer FASTA parse: (headers, seq_blob uint8,
+    offsets int64 [n+1]) with newlines/CR stripped, or None when the input
+    needs the per-line path (space/tab line starts, bare CR, non-ASCII).
+
+    Byte-for-byte the same records as iter_fasta on every input it
+    accepts."""
+    if not data:
+        return None
+    if (
+        not data.isascii()
+        or b"\n " in data
+        or b"\n\t" in data
+        or data[:1] in (b" ", b"\t")
+        or (b"\r" in data and data.count(b"\r") != data.count(b"\r\n"))
+    ):
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    nl_pos = np.nonzero(arr == 10)[0]
+    line_starts = np.empty(len(nl_pos) + 1, dtype=np.int64)
+    line_starts[0] = 0
+    line_starts[1:] = nl_pos + 1
+    if line_starts[-1] >= n:  # file ends with a newline
+        line_starts = line_starts[:-1]
+    if len(line_starts) == 0:
+        return [], np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    hdr_starts = line_starts[arr[line_starts] == ord(">")]
+    if len(hdr_starts) == 0:
+        return [], np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    # header line ends at the next newline (or EOF)
+    if len(nl_pos):
+        hdr_nl = np.searchsorted(nl_pos, hdr_starts)
+        hdr_ends = np.where(hdr_nl < len(nl_pos),
+                            nl_pos[np.minimum(hdr_nl, len(nl_pos) - 1)], n)
+    else:
+        hdr_ends = np.full(len(hdr_starts), n, dtype=np.int64)
+    # sequence bytes: everything after the first header that is not a
+    # newline, a CR (all CRs precede newlines here), or inside a header line
+    keep = (arr != 10) & (arr != 13)
+    bounds = np.zeros(n + 1, dtype=np.int32)
+    bounds[hdr_starts] = 1
+    np.subtract.at(bounds, np.minimum(hdr_ends, n), 1)
+    in_hdr = np.cumsum(bounds[:-1]) > 0
+    keep &= ~in_hdr
+    keep[: hdr_starts[0]] = False
+    blob = arr[keep]
+    # kept-byte count before each record boundary = that record's offset
+    # (int32 is ample: offsets are bounded by the file size, and multi-GB
+    # FASTAs take the streaming path upstream anyway)
+    cum = np.cumsum(keep, dtype=np.int32)
+    offsets = np.empty(len(hdr_starts) + 1, dtype=np.int64)
+    # no kept bytes exist between a record's header start and its body, so
+    # the count just before the NEXT header start ends this record
+    offsets[:-1] = np.where(hdr_starts > 0, cum[hdr_starts - 1], 0)
+    offsets[-1] = len(blob)
+    headers = []
+    for hs, he in zip(hdr_starts.tolist(), hdr_ends.tolist()):
+        if he > hs and data[he - 1 : he] == b"\r":
+            he -= 1
+        headers.append(data[hs:he].decode())
+    return headers, blob, offsets
+
+
+def _read_fasta_fast(path: str) -> Optional[List[SequenceRecord]]:
+    """read_fasta without the bytes->str->bytes round trip: vectorized
+    parse straight into the native batch encoder.  Returns None whenever
+    the input or environment needs the existing paths (which re-read the
+    file — acceptable for those rare cases)."""
+    from ..native import encode_batch_arrays
+
+    with open(path, "rb") as f:
+        data = f.read()
+    parsed = _parse_fast(data)
+    if parsed is None:
+        return None
+    headers, blob, offsets = parsed
+    if not headers:
+        return []
+    batch = encode_batch_arrays(blob, offsets)
+    if batch is None:  # native lib missing or invalid letters: slow path
+        return None
+    codes, offsets, segs, seg_offsets, meta = batch
+    out = RecordList()
+    out.batch = (codes, offsets, segs, seg_offsets)
+    for i, h in enumerate(headers):
+        rec_codes = codes[offsets[i] : offsets[i + 1]]
+        rec_segs = segs[2 * seg_offsets[i] : 2 * seg_offsets[i + 1]].reshape(-1, 2)
+        out.append(
+            SequenceRecord(
+                header=h,
+                codes=rec_codes,
+                segments=rec_segs,
+                effective_size=int(meta[i, 1]),
+                total_size=int(offsets[i + 1] - offsets[i]),
+                ref_list_effective_size=int(meta[i, 2]),
+                gc_count=int(meta[i, 3]),
+            )
+        )
+    return out
 
 
 class RecordList(list):

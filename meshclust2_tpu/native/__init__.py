@@ -479,15 +479,23 @@ def encode_batch(raw_seqs):
     (codes int8 blob, code_offsets, segments int64 [S,2] blob, seg_offsets,
     effective, ref_list_effective, gc) or None when unavailable or when an
     invalid letter is present (caller falls back per record)."""
-    lib = _get_lib()
-    if lib is None:
-        return None
     n = len(raw_seqs)
     offsets = np.zeros(n + 1, dtype=np.int64)
     for i, s in enumerate(raw_seqs):
         offsets[i + 1] = offsets[i] + len(s)
     blob = np.frombuffer(b"".join(raw_seqs), dtype=np.uint8) if n else np.zeros(0, np.uint8)
-    blob = np.ascontiguousarray(blob)
+    return encode_batch_arrays(blob, offsets)
+
+
+def encode_batch_arrays(blob: np.ndarray, offsets: np.ndarray):
+    """encode_batch over a pre-joined uint8 sequence blob with int64 record
+    offsets [n+1] (the shape the vectorized FASTA parser produces)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    n = len(offsets) - 1
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
     if len(blob) == 0:
         blob = np.zeros(1, dtype=np.uint8)
     meta = np.zeros(5 * n, dtype=np.int64)
