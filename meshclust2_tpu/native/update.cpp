@@ -99,10 +99,8 @@ class ScoreMemo {
         keys_.assign(ok.size() * 2, -1);
         vals_.assign(2 * keys_.size(), 0.0);
         count_ = 0;
-        int64_t saved_misses = misses_;
         for (size_t i = 0; i < ok.size(); i++)
             if (ok[i] != -1) insert(ok[i], ov[2 * i], ov[2 * i + 1]);
-        misses_ = saved_misses;
     }
 
     std::vector<int64_t> keys_;
@@ -163,6 +161,11 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
     int64_t C = (int64_t)clusters.size();
     // flat (center j, neighborhood member) pair list with j's length window
     std::vector<int64_t> a_arr, b_arr;
+    int64_t total_members = 0;
+    for (const ClusterState& c : clusters)
+        total_members += (int64_t)c.members.size();
+    a_arr.reserve(total_members * (2 * delta + 1));
+    b_arr.reserve(total_members * (2 * delta + 1));
     std::vector<int64_t> seg_bounds(C + 1, 0);
     for (int64_t j = 0; j < C; j++) {
         int64_t cen = clusters[j].center;
@@ -300,7 +303,9 @@ int update_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n_points,
                                    in_members + in_offsets[i + 1]);
     }
 
-    ScoreMemo memo((size_t)(in_offsets[n_clusters] * 2 * (delta ? delta : 1)));
+    // sized to one iteration's unique pairs; grow() doubles as the memo
+    // accumulates across iterations (rehash cost is trivial vs scoring)
+    ScoreMemo memo((size_t)in_offsets[n_clusters]);
     std::vector<int64_t> num_clusters;
     int64_t its = 0;
     for (int64_t it = 0; it < iterations; it++) {
