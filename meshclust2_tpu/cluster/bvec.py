@@ -50,6 +50,22 @@ class BVec:
         front, _ = self._index_of(length)
         self._build[front].append(row)
 
+    def insert_all(self, lengths: np.ndarray) -> None:
+        """Vectorized insert of rows 0..n-1 — the same single-bin
+        index_of selection as insert(), batched (at 1M rows the per-row
+        Python loop was seconds)."""
+        lengths = np.asarray(lengths, dtype=np.int64)
+        nb = len(self.begin_bounds)
+        hi_cnt = np.searchsorted(self._bounds_arr, lengths, side="right")
+        front = np.where((hi_cnt == 0) | (hi_cnt >= nb), nb - 1, hi_cnt - 1)
+        order = np.argsort(front, kind="stable")  # rows stay in id order
+        sorted_bins = front[order]
+        starts = np.searchsorted(sorted_bins, np.arange(nb))
+        ends = np.searchsorted(sorted_bins, np.arange(nb), side="right")
+        for b in range(nb):
+            if ends[b] > starts[b]:
+                self._build[b].extend(order[starts[b]:ends[b]].tolist())
+
     def insert_finalize(self, lengths: np.ndarray) -> None:
         """Sort each bin by length (bvec.cpp:215-233) with the native
         std::sort permutation helper, so equal-length tie order matches the

@@ -591,8 +591,7 @@ class MeanShiftEngine:
             self.stats.clusters_before_update = len(clusters)
         else:
             bv = BVec(self.ps.lengths, self.bin_size)
-            for row in range(self.ps.n):
-                bv.insert(row, int(self.ps.lengths[row]))
+            bv.insert_all(self.ps.lengths)
             bv.insert_finalize(self.ps.lengths)
             clusters = self.accumulate_all(bv)
             print(f"Number of clusters before update: {len(clusters)}")
