@@ -296,17 +296,26 @@ def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:
 
 
 def _parse_fast(data: bytes):
-    """Vectorized whole-buffer FASTA parse: (headers, seq_blob uint8,
-    offsets int64 [n+1]) with newlines/CR stripped, or None when the input
-    needs the per-line path (space/tab line starts, bare CR, non-ASCII).
+    """Whole-buffer FASTA parse: (headers, seq_blob uint8, offsets int64
+    [n+1]) with newlines/CR stripped, or None when the input needs the
+    per-line path (space/tab line starts, bare CR, non-ASCII).
 
     Byte-for-byte the same records as iter_fasta on every input it
-    accepts."""
-    if not data:
+    accepts.  Prefers the single-pass native scanner; the vectorized-numpy
+    body below is the fallback when the native library is unavailable."""
+    if not data or not data.isascii():
         return None
+    from ..native import fasta_scan
+
+    scanned = fasta_scan(data)
+    if scanned is not None:
+        hdr_ranges, blob, offsets = scanned
+        headers = [
+            data[hs:he].decode() for hs, he in hdr_ranges.tolist()
+        ]
+        return headers, blob, offsets
     if (
-        not data.isascii()
-        or b"\n " in data
+        b"\n " in data
         or b"\n\t" in data
         or data[:1] in (b" ", b"\t")
         or (b"\r" in data and data.count(b"\r") != data.count(b"\r\n"))
@@ -335,22 +344,34 @@ def _parse_fast(data: bytes):
     # sequence bytes: everything after the first header that is not a
     # newline, a CR (all CRs precede newlines here), or inside a header line
     keep = (arr != 10) & (arr != 13)
-    bounds = np.zeros(n + 1, dtype=np.int32)
-    bounds[hdr_starts] = 1
-    np.subtract.at(bounds, np.minimum(hdr_ends, n), 1)
-    in_hdr = np.cumsum(bounds[:-1]) > 0
-    keep &= ~in_hdr
+    # clear header-line bytes via one ragged arange over [hs, he) ranges
+    # (total header bytes are tiny next to the buffer; integer cumsum over
+    # the whole buffer is pathologically slow in this numpy build)
+    hdr_lens = hdr_ends - hdr_starts
+    ragged = np.repeat(hdr_starts - (np.cumsum(hdr_lens) - hdr_lens),
+                       hdr_lens) + np.arange(int(hdr_lens.sum()),
+                                             dtype=np.int64)
+    keep[ragged] = False
     keep[: hdr_starts[0]] = False
     blob = arr[keep]
-    # kept-byte count before each record boundary = that record's offset
-    # (int32 is ample: offsets are bounded by the file size, and multi-GB
-    # FASTAs take the streaming path upstream anyway)
-    cum = np.cumsum(keep, dtype=np.int32)
-    offsets = np.empty(len(hdr_starts) + 1, dtype=np.int64)
-    # no kept bytes exist between a record's header start and its body, so
-    # the count just before the NEXT header start ends this record
-    offsets[:-1] = np.where(hdr_starts > 0, cum[hdr_starts - 1], 0)
-    offsets[-1] = len(blob)
+    # per-record kept-byte counts, computed arithmetically: the bytes of
+    # record i span [hs_i, hs_i+1); subtract its newlines, CRs, and header
+    # bytes (header length taken without its CR, which the CR term already
+    # counts).  Deliberately no whole-buffer cumsum/reduceat — this numpy
+    # build's integer accumulation loops degrade ~7-20x on these inputs.
+    bounds_ext = np.append(hdr_starts, n)
+    nl_before = np.searchsorted(nl_pos, bounds_ext)
+    # newlines preceded by CR (a newline at position 0 has no predecessor;
+    # the clamp reads arr[0] = the newline itself, never 13)
+    cr_nl = nl_pos[arr[np.maximum(nl_pos - 1, 0)] == 13]
+    cr_before = np.searchsorted(cr_nl, bounds_ext)
+    hdr_nocr = (hdr_ends - hdr_starts) - (arr[hdr_ends - 1] == 13)
+    per_rec = (
+        np.diff(bounds_ext) - np.diff(nl_before) - np.diff(cr_before)
+        - hdr_nocr
+    )
+    offsets = np.zeros(len(hdr_starts) + 1, dtype=np.int64)
+    np.cumsum(per_rec, out=offsets[1:])
     headers = []
     for hs, he in zip(hdr_starts.tolist(), hdr_ends.tolist()):
         if he > hs and data[he - 1 : he] == b"\r":

@@ -25,6 +25,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "viterbi.cpp"),
     os.path.join(os.path.dirname(__file__), "encode.cpp"),
     os.path.join(os.path.dirname(__file__), "glm.cpp"),
+    os.path.join(os.path.dirname(__file__), "fasta.cpp"),
 ]
 # score_impl.h is #included by score.cpp/accumulate.cpp; hash it too so the
 # cached .so rebuilds when the shared machinery changes
@@ -154,6 +155,10 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         _u8p, _i64p, ctypes.c_int64, _i8p, _i64p, _i64p, _i64p,
     ]
     lib.encode_batch_fill.restype = ctypes.c_int
+    lib.fasta_scan_fill.argtypes = [
+        _u8p, ctypes.c_int64, ctypes.c_int64, i64p, _u8p, i64p, i64p, i64p,
+    ]
+    lib.fasta_scan_fill.restype = ctypes.c_int
     return lib
 
 
@@ -474,6 +479,46 @@ def mean_shift_argmin_batch(counts: np.ndarray, mags: np.ndarray,
     return out
 
 
+def fasta_scan(data: bytes):
+    """Single-pass native FASTA scan: (hdr_ranges int64 [m, 2], blob uint8,
+    rec_offsets int64 [m+1]) with newlines/CRs stripped from the blob and
+    CR stripped from header ranges, or None when the native library is
+    unavailable or the input needs the per-line parser (space/tab line
+    starts, non-CRLF carriage returns)."""
+    lib = _get_lib()
+    if lib is None or not data:
+        return None
+    max_hdrs = data.count(b">")
+    if max_hdrs == 0:
+        return (
+            np.zeros((0, 2), np.int64),
+            np.zeros(0, np.uint8),
+            np.zeros(1, np.int64),
+        )
+    buf = np.frombuffer(data, dtype=np.uint8)
+    hdr_ranges = np.empty(2 * max_hdrs, dtype=np.int64)
+    blob = np.empty(len(data), dtype=np.uint8)
+    rec_offsets = np.empty(max_hdrs + 1, dtype=np.int64)
+    nrec = np.zeros(1, dtype=np.int64)
+    blob_len = np.zeros(1, dtype=np.int64)
+    rc = lib.fasta_scan_fill(
+        buf.ctypes.data_as(_u8p), len(data), max_hdrs,
+        hdr_ranges.ctypes.data_as(_i64p),
+        blob.ctypes.data_as(_u8p),
+        rec_offsets.ctypes.data_as(_i64p),
+        nrec.ctypes.data_as(_i64p),
+        blob_len.ctypes.data_as(_i64p),
+    )
+    if rc != 0:
+        return None
+    m = int(nrec[0])
+    return (
+        hdr_ranges[: 2 * m].reshape(m, 2),
+        blob[: int(blob_len[0])],
+        rec_offsets[: m + 1],
+    )
+
+
 def encode_batch(raw_seqs):
     """Native batched sequence encoding: list of raw byte strings ->
     (codes int8 blob, code_offsets, segments int64 [S,2] blob, seg_offsets,
@@ -496,6 +541,10 @@ def encode_batch_arrays(blob: np.ndarray, offsets: np.ndarray):
     n = len(offsets) - 1
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    if not blob.flags.writeable:
+        # the fill pass encodes in place (frombuffer(bytes) views are
+        # read-only and must not be written through)
+        blob = blob.copy()
     if len(blob) == 0:
         blob = np.zeros(1, dtype=np.uint8)
     meta = np.zeros(5 * n, dtype=np.int64)
@@ -506,7 +555,10 @@ def encode_batch_arrays(blob: np.ndarray, offsets: np.ndarray):
     meta = meta.reshape(n, 5)
     seg_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(meta[:, 0], out=seg_offsets[1:])
-    codes = np.empty(int(offsets[-1]), dtype=np.int8)
+    # encode in place over the sequence blob (the fill pass is single-sweep
+    # aliasing-safe) — a fresh GB-scale codes buffer would pay this VM's
+    # slow first-touch fault path all over again
+    codes = blob[: int(offsets[-1])].view(np.int8)
     segs = np.empty(2 * int(seg_offsets[-1]), dtype=np.int64)
     if len(codes) == 0:
         codes = np.zeros(1, dtype=np.int8)

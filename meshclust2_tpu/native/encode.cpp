@@ -19,25 +19,48 @@ namespace {
 
 constexpr int64_t SEG_LENGTH = 1000000;
 
-// one-digit DNA codes; -2 invalid, 'N' handled separately
+// one-digit DNA codes; -2 invalid, 'N' handled separately.  Covers both
+// cases directly — per-byte std::toupper is a locale-aware call and was
+// the encoder's dominant cost.
 void build_code_table(int8_t* tbl) {
     for (int i = 0; i < 256; i++) tbl[i] = -2;
     const char* letters = "ACGTRYMKSWHBVDNX";
     const int8_t codes[] = {0, 1, 2, 3, 2, 1, 0, 3, 2, 3, 1, 3, 0, 3, 1, 2};
-    for (int i = 0; i < 16; i++) tbl[(uint8_t)letters[i]] = codes[i];
+    for (int i = 0; i < 16; i++) {
+        tbl[(uint8_t)letters[i]] = codes[i];
+        tbl[(uint8_t)(letters[i] + 32)] = codes[i];  // lowercase
+    }
 }
+
+// byte-class tables: is-'N' (either case) and is-C/G (either case)
+struct ByteTables {
+    bool is_n[256] = {};
+    bool is_gc[256] = {};
+    ByteTables() {
+        is_n[(uint8_t)'N'] = is_n[(uint8_t)'n'] = true;
+        for (char c : {'C', 'G', 'c', 'g'}) is_gc[(uint8_t)c] = true;
+    }
+};
+const ByteTables kTables;
 
 // maximal non-N runs with the last-position quirk
 // (Chromosome.cpp:263-291: a run whose start is first set at the final
 // index never emits)
-void raw_segments(const uint8_t* s, int64_t n, bool leading_valid,
-                  int64_t lead, std::vector<int64_t>& segs) {
+void raw_segments(const uint8_t* s, int64_t n, int64_t lead,
+                  std::vector<int64_t>& segs) {
     // positions [0, lead) are implicitly valid (space prealloc); the letter
     // region is s[0..n-1] mapped to positions lead..lead+n-1
+    const bool* is_n_tbl = kTables.is_n;
     int64_t total = lead + n;
     int64_t start = -1;
-    for (int64_t i = 0; i < total; i++) {
-        bool is_n = i >= lead && std::toupper(s[i - lead]) == 'N';
+    int64_t i = 0;
+    if (lead > 0 && total > 0) {
+        // the lead region is one unbroken valid run from position 0
+        start = 0;
+        i = lead;
+    }
+    for (; i < total; i++) {
+        bool is_n = i >= lead && is_n_tbl[s[i - lead]];
         if (!is_n && start == -1) {
             if (i == total - 1) break;  // quirk: run starting at last base
             start = i;
@@ -51,7 +74,6 @@ void raw_segments(const uint8_t* s, int64_t n, bool leading_valid,
             start = -1;
         }
     }
-    (void)leading_valid;
 }
 
 void merge_and_split(std::vector<int64_t>& segs, int64_t total) {
@@ -112,23 +134,20 @@ int encode_batch_meta(const uint8_t* seqs, const int64_t* offsets,
         const uint8_t* s = seqs + offsets[r];
         int64_t n = offsets[r + 1] - offsets[r];
         std::vector<int64_t> segs;
-        raw_segments(s, n, false, 0, segs);
+        raw_segments(s, n, 0, segs);
         merge_and_split(segs, n);
         int64_t eff = 0;
         for (size_t i = 0; i + 1 < segs.size(); i += 2)
             eff += segs[i + 1] - segs[i] + 1;
         // doubled-buffer variant
         std::vector<int64_t> dsegs;
-        raw_segments(s, n, true, n, dsegs);
+        raw_segments(s, n, n, dsegs);
         merge_and_split(dsegs, 2 * n);
         int64_t ref_eff = 0;
         for (size_t i = 0; i + 1 < dsegs.size(); i += 2)
             ref_eff += dsegs[i + 1] - dsegs[i] + 1;
         int64_t gc = 0;
-        for (int64_t i = 0; i < n; i++) {
-            uint8_t c = std::toupper(s[i]);
-            gc += (c == 'C' || c == 'G');
-        }
+        for (int64_t i = 0; i < n; i++) gc += kTables.is_gc[s[i]];
         out_meta[5 * r + 0] = (int64_t)(segs.size() / 2);
         out_meta[5 * r + 1] = eff;
         out_meta[5 * r + 2] = ref_eff;
@@ -153,31 +172,32 @@ int encode_batch_fill(const uint8_t* seqs, const int64_t* offsets,
         int8_t* codes = out_codes + offsets[r];
         int64_t n = offsets[r + 1] - offsets[r];
         std::vector<int64_t> segs;
-        raw_segments(s, n, false, 0, segs);
+        raw_segments(s, n, 0, segs);
         merge_and_split(segs, n);
         int64_t* segp = out_segs + 2 * seg_offsets[r];
         for (size_t i = 0; i < segs.size(); i++) segp[i] = segs[i];
-        // encode every letter; N outside segments -> -1, N inside -> code
-        // table (C), invalid -> error
+        // encode every letter in ONE pass (out_codes may alias seqs — the
+        // caller reuses the sequence blob as the codes buffer): N outside
+        // segments -> -1, N inside -> code table (C), invalid -> error
+        size_t gi = 0;
+        bool rec_err = false;
         for (int64_t i = 0; i < n; i++) {
-            int8_t v = tbl[(uint8_t)std::toupper(s[i])];
+            uint8_t c = s[i];
+            int8_t v = tbl[c];
             if (v == -2) {
-#pragma omp atomic write
-                err = 1;
+                rec_err = true;
                 v = -1;
+            } else if (kTables.is_n[c]) {
+                while (gi + 1 < segs.size() && segs[gi + 1] < i) gi += 2;
+                bool inside =
+                    gi + 1 < segs.size() && segs[gi] <= i && i <= segs[gi + 1];
+                if (!inside) v = -1;
             }
             codes[i] = v;
         }
-        for (size_t i = 0; i + 1 < segs.size(); i += 2) {
-            // nothing extra: table already encodes N->C inside segments
-            (void)i;
-        }
-        // mark N positions outside all segments as -1
-        size_t gi = 0;
-        for (int64_t i = 0; i < n; i++) {
-            while (gi + 1 < segs.size() && segs[gi + 1] < i) gi += 2;
-            bool inside = gi + 1 < segs.size() && segs[gi] <= i && i <= segs[gi + 1];
-            if (!inside && std::toupper(s[i]) == 'N') codes[i] = -1;
+        if (rec_err) {
+#pragma omp atomic write
+            err = 1;
         }
     }
     *err_out = err;
