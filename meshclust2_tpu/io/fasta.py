@@ -296,87 +296,26 @@ def read_fasta(path: str, single_file: bool = False) -> List[SequenceRecord]:
 
 
 def _parse_fast(data: bytes):
-    """Whole-buffer FASTA parse: (headers, seq_blob uint8, offsets int64
-    [n+1]) with newlines/CR stripped, or None when the input needs the
-    per-line path (space/tab line starts, bare CR, non-ASCII).
+    """Whole-buffer FASTA parse via the single-pass native scanner:
+    (headers, seq_blob uint8, offsets int64 [n+1]) with newlines/CR
+    stripped, or None when the input needs the per-line path (space/tab
+    line starts, bare CR, non-ASCII) or the native library is unavailable.
 
     Byte-for-byte the same records as iter_fasta on every input it
-    accepts.  Prefers the single-pass native scanner; the vectorized-numpy
-    body below is the fallback when the native library is unavailable."""
+    accepts.  (An earlier vectorized-numpy fallback body was removed: it
+    only ran when the native library was missing, and then
+    encode_batch_arrays — which needs the same library — always discarded
+    its result, so it was pure wasted work on exactly the environments it
+    claimed to serve.)"""
     if not data or not data.isascii():
         return None
     from ..native import fasta_scan
 
     scanned = fasta_scan(data)
-    if scanned is not None:
-        hdr_ranges, blob, offsets = scanned
-        headers = [
-            data[hs:he].decode() for hs, he in hdr_ranges.tolist()
-        ]
-        return headers, blob, offsets
-    if (
-        b"\n " in data
-        or b"\n\t" in data
-        or data[:1] in (b" ", b"\t")
-        or (b"\r" in data and data.count(b"\r") != data.count(b"\r\n"))
-    ):
+    if scanned is None:
         return None
-    arr = np.frombuffer(data, dtype=np.uint8)
-    n = len(arr)
-    nl_pos = np.nonzero(arr == 10)[0]
-    line_starts = np.empty(len(nl_pos) + 1, dtype=np.int64)
-    line_starts[0] = 0
-    line_starts[1:] = nl_pos + 1
-    if line_starts[-1] >= n:  # file ends with a newline
-        line_starts = line_starts[:-1]
-    if len(line_starts) == 0:
-        return [], np.zeros(0, np.uint8), np.zeros(1, np.int64)
-    hdr_starts = line_starts[arr[line_starts] == ord(">")]
-    if len(hdr_starts) == 0:
-        return [], np.zeros(0, np.uint8), np.zeros(1, np.int64)
-    # header line ends at the next newline (or EOF)
-    if len(nl_pos):
-        hdr_nl = np.searchsorted(nl_pos, hdr_starts)
-        hdr_ends = np.where(hdr_nl < len(nl_pos),
-                            nl_pos[np.minimum(hdr_nl, len(nl_pos) - 1)], n)
-    else:
-        hdr_ends = np.full(len(hdr_starts), n, dtype=np.int64)
-    # sequence bytes: everything after the first header that is not a
-    # newline, a CR (all CRs precede newlines here), or inside a header line
-    keep = (arr != 10) & (arr != 13)
-    # clear header-line bytes via one ragged arange over [hs, he) ranges
-    # (total header bytes are tiny next to the buffer; integer cumsum over
-    # the whole buffer is pathologically slow in this numpy build)
-    hdr_lens = hdr_ends - hdr_starts
-    ragged = np.repeat(hdr_starts - (np.cumsum(hdr_lens) - hdr_lens),
-                       hdr_lens) + np.arange(int(hdr_lens.sum()),
-                                             dtype=np.int64)
-    keep[ragged] = False
-    keep[: hdr_starts[0]] = False
-    blob = arr[keep]
-    # per-record kept-byte counts, computed arithmetically: the bytes of
-    # record i span [hs_i, hs_i+1); subtract its newlines, CRs, and header
-    # bytes (header length taken without its CR, which the CR term already
-    # counts).  Deliberately no whole-buffer cumsum/reduceat — this numpy
-    # build's integer accumulation loops degrade ~7-20x on these inputs.
-    bounds_ext = np.append(hdr_starts, n)
-    nl_before = np.searchsorted(nl_pos, bounds_ext)
-    # newlines preceded by CR (a newline at position 0 has no predecessor;
-    # the clamp reads arr[0] = the newline itself, never 13)
-    cr_nl = nl_pos[arr[np.maximum(nl_pos - 1, 0)] == 13]
-    cr_before = np.searchsorted(cr_nl, bounds_ext)
-    hdr_nocr = (hdr_ends - hdr_starts) - (arr[hdr_ends - 1] == 13)
-    per_rec = (
-        np.diff(bounds_ext) - np.diff(nl_before) - np.diff(cr_before)
-        - hdr_nocr
-    )
-    offsets = np.zeros(len(hdr_starts) + 1, dtype=np.int64)
-    np.cumsum(per_rec, out=offsets[1:])
-    headers = []
-    for hs, he in zip(hdr_starts.tolist(), hdr_ends.tolist()):
-        if he > hs and data[he - 1 : he] == b"\r":
-            he -= 1
-        headers.append(data[hs:he].decode())
+    hdr_ranges, blob, offsets = scanned
+    headers = [data[hs:he].decode() for hs, he in hdr_ranges.tolist()]
     return headers, blob, offsets
 
 
@@ -398,6 +337,19 @@ def _read_fasta_fast(path: str) -> Optional[List[SequenceRecord]]:
     batch = encode_batch_arrays(blob, offsets)
     if batch is None:  # native lib missing or invalid letters: slow path
         return None
+    return _records_from_batch(headers, batch)
+
+
+class RecordList(list):
+    """A list of SequenceRecords whose code/segment arrays are views into
+    one encoded batch blob; `batch` carries (codes, offsets, segs,
+    seg_offsets) so downstream native calls can skip re-packing."""
+
+    batch = None
+
+
+def _records_from_batch(headers, batch) -> "RecordList":
+    """Slice a native encode_batch result into per-record views."""
     codes, offsets, segs, seg_offsets, meta = batch
     out = RecordList()
     out.batch = (codes, offsets, segs, seg_offsets)
@@ -418,14 +370,6 @@ def _read_fasta_fast(path: str) -> Optional[List[SequenceRecord]]:
     return out
 
 
-class RecordList(list):
-    """A list of SequenceRecords whose code/segment arrays are views into
-    one encoded batch blob; `batch` carries (codes, offsets, segs,
-    seg_offsets) so downstream native calls can skip re-packing."""
-
-    batch = None
-
-
 def encode_records(records) -> List[SequenceRecord]:
     """Batch-encode (header, sequence) pairs, using the native encoder when
     available (exact same segmentation semantics as encode_sequence)."""
@@ -435,24 +379,7 @@ def encode_records(records) -> List[SequenceRecord]:
     batch = encode_batch(raw)
     if batch is None:
         return [encode_sequence(h, s) for h, s in records]
-    codes, offsets, segs, seg_offsets, meta = batch
-    out = RecordList()
-    out.batch = (codes, offsets, segs, seg_offsets)
-    for i, (h, _) in enumerate(records):
-        rec_codes = codes[offsets[i] : offsets[i + 1]]
-        rec_segs = segs[2 * seg_offsets[i] : 2 * seg_offsets[i + 1]].reshape(-1, 2)
-        out.append(
-            SequenceRecord(
-                header=h,
-                codes=rec_codes,
-                segments=rec_segs,
-                effective_size=int(meta[i, 1]),
-                total_size=int(offsets[i + 1] - offsets[i]),
-                ref_list_effective_size=int(meta[i, 2]),
-                gc_count=int(meta[i, 3]),
-            )
-        )
-    return out
+    return _records_from_batch([h for h, _ in records], batch)
 
 
 def acgt_only(seq: str) -> str:

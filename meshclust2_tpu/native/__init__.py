@@ -534,7 +534,13 @@ def encode_batch(raw_seqs):
 
 def encode_batch_arrays(blob: np.ndarray, offsets: np.ndarray):
     """encode_batch over a pre-joined uint8 sequence blob with int64 record
-    offsets [n+1] (the shape the vectorized FASTA parser produces)."""
+    offsets [n+1] (the shape the vectorized FASTA parser produces).
+
+    DESTRUCTIVE: when `blob` is writable and contiguous it is encoded IN
+    PLACE (its letter bytes become codes 0-3/-1), including on the
+    invalid-letter error path, where the function returns None with the
+    blob partially overwritten.  Callers that still need the raw bytes
+    must pass a copy (read-only views are copied internally)."""
     lib = _get_lib()
     if lib is None:
         return None

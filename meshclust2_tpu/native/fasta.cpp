@@ -61,11 +61,11 @@ int fasta_scan_fill(const uint8_t* data, int64_t n, int64_t max_hdrs,
         pos = line_end + 1;
     }
     // rec_offsets[i] (start of record i's blob bytes) was written when
-    // header i was found, for i >= 1; close the standard offsets form
-    if (nrec) {
-        rec_offsets[0] = 0;
-        rec_offsets[nrec] = blob_len;
-    }
+    // header i was found, for i >= 1; close the standard offsets form.
+    // rec_offsets[0] is written unconditionally: with '>' bytes mid-line but
+    // no header line, nrec == 0 and the caller still reads rec_offsets[:1].
+    rec_offsets[0] = 0;
+    rec_offsets[nrec] = blob_len;
     *out_n_records = nrec;
     *out_blob_len = blob_len;
     return 0;
