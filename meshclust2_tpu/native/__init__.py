@@ -315,10 +315,15 @@ def sort_perm_strings(strings: List[str]) -> np.ndarray:
 def _pack_records(records):
     # encode_records returns its records as views into one encoded batch
     # blob and hands the blob along (io/fasta.py:RecordList); reuse it
-    # instead of re-concatenating 100k per-record views.
+    # instead of re-concatenating 100k per-record views.  The alias check
+    # must NOT use `.base is batch[0]`: when the encoder works in place,
+    # batch[0] is itself a view of the raw blob and numpy collapses the
+    # records' view chains straight to that underlying blob, so `.base`
+    # skips past batch[0] (this silently disabled the fast path and cost
+    # ~11s re-packing at 1M records).
     batch = getattr(records, "batch", None)
     if batch is not None and len(batch[1]) == len(records) + 1:
-        if len(records) == 0 or records[0].codes.base is batch[0]:
+        if len(records) == 0 or np.may_share_memory(records[0].codes, batch[0]):
             return batch
     offsets = np.zeros(len(records) + 1, dtype=np.int64)
     seg_offsets = np.zeros(len(records) + 1, dtype=np.int64)
