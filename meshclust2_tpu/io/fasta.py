@@ -349,22 +349,29 @@ class RecordList(list):
 
 
 def _records_from_batch(headers, batch) -> "RecordList":
-    """Slice a native encode_batch result into per-record views."""
+    """Slice a native encode_batch result into per-record views.
+
+    Per-record numpy scalar indexing/int() conversions are hoisted into
+    bulk .tolist() calls — at 1M records they were most of this loop."""
     codes, offsets, segs, seg_offsets, meta = batch
     out = RecordList()
     out.batch = (codes, offsets, segs, seg_offsets)
+    offs = offsets.tolist()
+    soffs = seg_offsets.tolist()
+    metal = meta.tolist()
+    segs2 = segs.reshape(-1, 2)
     for i, h in enumerate(headers):
-        rec_codes = codes[offsets[i] : offsets[i + 1]]
-        rec_segs = segs[2 * seg_offsets[i] : 2 * seg_offsets[i + 1]].reshape(-1, 2)
+        o0, o1 = offs[i], offs[i + 1]
+        m = metal[i]
         out.append(
             SequenceRecord(
                 header=h,
-                codes=rec_codes,
-                segments=rec_segs,
-                effective_size=int(meta[i, 1]),
-                total_size=int(offsets[i + 1] - offsets[i]),
-                ref_list_effective_size=int(meta[i, 2]),
-                gc_count=int(meta[i, 3]),
+                codes=codes[o0:o1],
+                segments=segs2[soffs[i] : soffs[i + 1]],
+                effective_size=m[1],
+                total_size=o1 - o0,
+                ref_list_effective_size=m[2],
+                gc_count=m[3],
             )
         )
     return out
