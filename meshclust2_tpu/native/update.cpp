@@ -117,6 +117,18 @@ struct ClusterState {
     std::vector<int64_t> prev_kept;
     int64_t prev_result = -1;
     bool has_prev = false;
+    // Fixed-point segment skipping (exact): `stable` means the last update
+    // pass (same delta, window undisturbed by merges since) left this
+    // center unchanged — its inputs (own center + neighborhood member
+    // lists) are identical this pass, so the result is identical and every
+    // pair is already in the memo; the segment can be skipped without
+    // changing the miss stream.
+    bool stable = false;
+    bool center_changed = true;  // did the latest update pass move it?
+    // did the latest merge pass disturb this cluster's ±delta window
+    // (a removal shifts the window's composition; an absorber's member
+    // list grows)?  Gates the next merge pass's segment skip.
+    bool merge_dirty = true;
 };
 
 // Score pairs through the memo: hits are returned verbatim, misses are
@@ -157,7 +169,8 @@ template <typename T>
 void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
                             ScorePlan<T>& plan, ScoreMemo& memo,
                             int64_t n_points, double sim, int64_t delta,
-                            std::vector<ClusterState>& clusters) {
+                            std::vector<ClusterState>& clusters,
+                            bool allow_skip) {
     int64_t C = (int64_t)clusters.size();
     // flat (center j, neighborhood member) pair list with j's length window
     std::vector<int64_t> a_arr, b_arr;
@@ -167,7 +180,16 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
     a_arr.reserve(total_members * (2 * delta + 1));
     b_arr.reserve(total_members * (2 * delta + 1));
     std::vector<int64_t> seg_bounds(C + 1, 0);
+    std::vector<uint8_t> skipped(C, 0);
     for (int64_t j = 0; j < C; j++) {
+        if (allow_skip && clusters[j].stable) {
+            // fixed point: inputs identical to the previous pass (center
+            // unchanged, member lists untouched since the last merge), so
+            // the result is the current center and every pair is a memo hit
+            skipped[j] = 1;
+            seg_bounds[j + 1] = (int64_t)a_arr.size();
+            continue;
+        }
         int64_t cen = clusters[j].center;
         int64_t cl = v.lengths[cen];
         int64_t min_len = (int64_t)(sim * (double)cl);
@@ -193,10 +215,14 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
     std::vector<std::vector<int64_t>> kept(C);
     std::vector<int64_t> todo;
     for (int64_t j = 0; j < C; j++) {
+        ClusterState& cl = clusters[j];
+        if (skipped[j]) {
+            new_centers[j] = cl.center;
+            continue;
+        }
         std::vector<int64_t>& good = kept[j];
         for (int64_t i = seg_bounds[j]; i < seg_bounds[j + 1]; i++)
             if (std::floor(prob[i] + 0.5) != 0.0) good.push_back(b_arr[i]);
-        ClusterState& cl = clusters[j];
         if (good.empty()) {
             new_centers[j] = delta == 0 ? cl.members[0] : cl.center;
         } else if (cl.has_prev && cl.prev_kept == good) {
@@ -220,18 +246,43 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
         clusters[j].prev_result = new_centers[j];
         clusters[j].has_prev = true;
     }
-    for (int64_t j = 0; j < C; j++) clusters[j].center = new_centers[j];
+    for (int64_t j = 0; j < C; j++) {
+        ClusterState& cl = clusters[j];
+        cl.center_changed = new_centers[j] != cl.center;
+        cl.stable = skipped[j] || !cl.center_changed;
+        cl.center = new_centers[j];
+    }
 }
 
 template <typename T>
-void merge_pass(const PointsView<T>& v, const ModelSpec& m,
+bool merge_pass(const PointsView<T>& v, const ModelSpec& m,
                 ScorePlan<T>& plan, ScoreMemo& memo, int64_t n_points,
                 double sim, int64_t delta,
-                std::vector<ClusterState>& clusters) {
+                std::vector<ClusterState>& clusters, bool allow_skip) {
     int64_t C = (int64_t)clusters.size();
     std::vector<int64_t> a_arr, b_arr, jj;
     std::vector<int64_t> seg_bounds(C + 1, 0);
     for (int64_t i = 0; i < C; i++) {
+        if (allow_skip) {
+            // merge decisions for i depend only on centers [i, i+delta]
+            // (windows use center lengths; pairs are center-vs-center).
+            // When the previous merge pass left that window undisturbed
+            // (no removal within ±delta, so the same clusters occupy it)
+            // and none of its centers moved in this iteration's update
+            // pass, the decision repeats — and it was "no merge"
+            // (i survived that pass).  Every pair is a memo hit, so
+            // skipping preserves the miss stream exactly.
+            bool unchanged =
+                !clusters[i].center_changed && !clusters[i].merge_dirty;
+            int64_t hi0 = i + delta >= C ? C - 1 : i + delta;
+            for (int64_t j = i + 1; unchanged && j <= hi0; j++)
+                unchanged =
+                    !clusters[j].center_changed && !clusters[j].merge_dirty;
+            if (unchanged) {
+                seg_bounds[i + 1] = (int64_t)a_arr.size();
+                continue;
+            }
+        }
         int64_t ci = clusters[i].center;
         int64_t cl = v.lengths[ci];
         int64_t min_len = (int64_t)((double)cl * sim);
@@ -252,6 +303,7 @@ void merge_pass(const PointsView<T>& v, const ModelSpec& m,
     memo_score(v, m, plan, memo, n_points, a_arr, b_arr, &prob, &dist);
 
     bool any_merge = false;
+    std::vector<uint8_t> absorbed(C, 0);
     for (int64_t i = 0; i < C; i++) {
         int64_t lo = seg_bounds[i], hi = seg_bounds[i + 1];
         // LAST strict-max-dist positive candidate wins (best.second > dist
@@ -272,16 +324,38 @@ void merge_pass(const PointsView<T>& v, const ModelSpec& m,
         std::vector<int64_t>& dst = clusters[ret].members;
         std::vector<int64_t>& src = clusters[i].members;
         dst.insert(dst.end(), src.begin(), src.end());
+        absorbed[ret] = 1;
         clusters[i].deleted = true;
         any_merge = true;
     }
     if (any_merge) {
+        // per-segment invalidation: a removed cluster shifts the window
+        // composition of everything within ±delta of it, and an absorber's
+        // member list changed — survivors whose old-index ±delta window
+        // contains either lose their fixed-point assumptions; everything
+        // farther away keeps them (its window holds the same clusters with
+        // the same members before and after compaction)
+        std::vector<int32_t> pre(C + 1, 0);
+        for (int64_t i = 0; i < C; i++)
+            pre[i + 1] =
+                pre[i] + (clusters[i].deleted || absorbed[i] ? 1 : 0);
+        for (int64_t i = 0; i < C; i++) {
+            if (clusters[i].deleted) continue;
+            int64_t lo = i - delta < 0 ? 0 : i - delta;
+            int64_t hi = i + delta >= C ? C - 1 : i + delta;
+            bool dirty = pre[hi + 1] - pre[lo] > 0;
+            clusters[i].merge_dirty = dirty;
+            if (dirty) clusters[i].stable = false;
+        }
         std::vector<ClusterState> kept;
         kept.reserve(clusters.size());
         for (ClusterState& c : clusters)
             if (!c.deleted) kept.push_back(std::move(c));
         clusters.swap(kept);
+    } else {
+        for (ClusterState& c : clusters) c.merge_dirty = false;
     }
+    return any_merge;
 }
 
 template <typename T>
@@ -312,15 +386,22 @@ int update_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n_points,
         if (it >= 3 &&
             (int64_t)clusters.size() == num_clusters[it - 3])
             break;
+        // segment skipping needs one full iteration behind it: the per-
+        // cluster stable/center_changed/merge_dirty flags then delimit
+        // exactly which segments' inputs are unchanged
+        bool allow_skip = it > 0;
         mean_shift_update_pass(v, m, plan, memo, n_points, sim, delta,
-                               clusters);
-        merge_pass(v, m, plan, memo, n_points, sim, delta, clusters);
+                               clusters, allow_skip);
+        merge_pass(v, m, plan, memo, n_points, sim, delta, clusters,
+                   allow_skip);
         num_clusters.push_back((int64_t)clusters.size());
         its++;
         if (progress_cb) progress_cb(1);
     }
+    // the final delta=0 pass is a different function of the state — never
+    // skipped
     mean_shift_update_pass(v, m, plan, memo, n_points, sim, /*delta=*/0,
-                           clusters);
+                           clusters, /*allow_skip=*/false);
 
     int64_t C = (int64_t)clusters.size();
     int64_t pos = 0;
