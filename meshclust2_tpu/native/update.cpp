@@ -172,13 +172,21 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
                             std::vector<ClusterState>& clusters,
                             bool allow_skip) {
     int64_t C = (int64_t)clusters.size();
-    // flat (center j, neighborhood member) pair list with j's length window
+    // flat (center j, neighborhood member) pair list with j's length window;
+    // reserve for the segments that will actually build pairs (skipped
+    // fixed-point segments contribute nothing — sizing over everything
+    // would malloc ~100 MB buffers per near-converged pass at 1M members)
     std::vector<int64_t> a_arr, b_arr;
-    int64_t total_members = 0;
-    for (const ClusterState& c : clusters)
-        total_members += (int64_t)c.members.size();
-    a_arr.reserve(total_members * (2 * delta + 1));
-    b_arr.reserve(total_members * (2 * delta + 1));
+    int64_t reserve_pairs = 0;
+    for (int64_t j = 0; j < C; j++) {
+        if (allow_skip && clusters[j].stable) continue;
+        int64_t lo = j - delta < 0 ? 0 : j - delta;
+        int64_t hi = j + delta >= C ? C - 1 : j + delta;
+        for (int64_t g = lo; g <= hi; g++)
+            reserve_pairs += (int64_t)clusters[g].members.size();
+    }
+    a_arr.reserve(reserve_pairs);
+    b_arr.reserve(reserve_pairs);
     std::vector<int64_t> seg_bounds(C + 1, 0);
     std::vector<uint8_t> skipped(C, 0);
     for (int64_t j = 0; j < C; j++) {
@@ -249,13 +257,14 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
     for (int64_t j = 0; j < C; j++) {
         ClusterState& cl = clusters[j];
         cl.center_changed = new_centers[j] != cl.center;
-        cl.stable = skipped[j] || !cl.center_changed;
+        // skipped segments kept their center, so this also re-marks them
+        cl.stable = !cl.center_changed;
         cl.center = new_centers[j];
     }
 }
 
 template <typename T>
-bool merge_pass(const PointsView<T>& v, const ModelSpec& m,
+void merge_pass(const PointsView<T>& v, const ModelSpec& m,
                 ScorePlan<T>& plan, ScoreMemo& memo, int64_t n_points,
                 double sim, int64_t delta,
                 std::vector<ClusterState>& clusters, bool allow_skip) {
@@ -263,6 +272,7 @@ bool merge_pass(const PointsView<T>& v, const ModelSpec& m,
     std::vector<int64_t> a_arr, b_arr, jj;
     std::vector<int64_t> seg_bounds(C + 1, 0);
     for (int64_t i = 0; i < C; i++) {
+        int64_t hi = i + delta >= C ? C - 1 : i + delta;
         if (allow_skip) {
             // merge decisions for i depend only on centers [i, i+delta]
             // (windows use center lengths; pairs are center-vs-center).
@@ -274,8 +284,7 @@ bool merge_pass(const PointsView<T>& v, const ModelSpec& m,
             // skipping preserves the miss stream exactly.
             bool unchanged =
                 !clusters[i].center_changed && !clusters[i].merge_dirty;
-            int64_t hi0 = i + delta >= C ? C - 1 : i + delta;
-            for (int64_t j = i + 1; unchanged && j <= hi0; j++)
+            for (int64_t j = i + 1; unchanged && j <= hi; j++)
                 unchanged =
                     !clusters[j].center_changed && !clusters[j].merge_dirty;
             if (unchanged) {
@@ -287,7 +296,6 @@ bool merge_pass(const PointsView<T>& v, const ModelSpec& m,
         int64_t cl = v.lengths[ci];
         int64_t min_len = (int64_t)((double)cl * sim);
         int64_t max_len = (int64_t)((double)cl / sim);
-        int64_t hi = i + delta >= C ? C - 1 : i + delta;
         for (int64_t j = i + 1; j <= hi; j++) {
             int64_t lj = v.lengths[clusters[j].center];
             if (lj >= min_len && lj <= max_len) {
@@ -302,8 +310,8 @@ bool merge_pass(const PointsView<T>& v, const ModelSpec& m,
     std::vector<double> prob, dist;
     memo_score(v, m, plan, memo, n_points, a_arr, b_arr, &prob, &dist);
 
-    bool any_merge = false;
     std::vector<uint8_t> absorbed(C, 0);
+    bool any_merge = false;
     for (int64_t i = 0; i < C; i++) {
         int64_t lo = seg_bounds[i], hi = seg_bounds[i + 1];
         // LAST strict-max-dist positive candidate wins (best.second > dist
@@ -355,7 +363,6 @@ bool merge_pass(const PointsView<T>& v, const ModelSpec& m,
     } else {
         for (ClusterState& c : clusters) c.merge_dirty = false;
     }
-    return any_merge;
 }
 
 template <typename T>
