@@ -44,6 +44,12 @@ using mc2::ScorePlan;
 using mc2::closest_to_mean;
 
 typedef void (*mc2_progress_cb)(int64_t);
+// Per-iteration state export for checkpointing: (iteration_completed,
+// n_clusters, centers[n], member_offsets[n+1], members[total], total).
+// A nonzero return aborts the remaining iterations (reserved; the Python
+// side currently always returns 0).
+typedef int (*mc2_state_cb)(int64_t, int64_t, const int64_t*,
+                            const int64_t*, const int64_t*, int64_t);
 
 // Open-addressing (prob, dist) memo keyed by a*n+b.  Keys are nonnegative;
 // empty slots hold -1.
@@ -365,12 +371,37 @@ void merge_pass(const PointsView<T>& v, const ModelSpec& m,
     }
 }
 
+// flatten live clusters into scratch arrays and hand them to the state
+// callback; returns the callback's verdict (nonzero aborts)
+int export_state(const std::vector<ClusterState>& clusters, int64_t it,
+                 mc2_state_cb state_cb, std::vector<int64_t>* sc_centers,
+                 std::vector<int64_t>* sc_offsets,
+                 std::vector<int64_t>* sc_members) {
+    int64_t C = (int64_t)clusters.size();
+    sc_centers->resize(C);
+    sc_offsets->resize(C + 1);
+    (*sc_offsets)[0] = 0;
+    int64_t total = 0;
+    for (int64_t i = 0; i < C; i++) total += (int64_t)clusters[i].members.size();
+    sc_members->resize(total);
+    int64_t pos = 0;
+    for (int64_t i = 0; i < C; i++) {
+        (*sc_centers)[i] = clusters[i].center;
+        for (int64_t r : clusters[i].members) (*sc_members)[pos++] = r;
+        (*sc_offsets)[i + 1] = pos;
+    }
+    return state_cb(it, C, sc_centers->data(), sc_offsets->data(),
+                    sc_members->data(), total);
+}
+
 template <typename T>
 int update_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n_points,
                  double sim, int64_t delta, int64_t iterations,
-                 const int64_t* in_centers, const int64_t* in_offsets,
-                 const int64_t* in_members, int64_t n_clusters,
-                 mc2_progress_cb progress_cb, int64_t* out_centers,
+                 int64_t start_it, const int64_t* prior_counts,
+                 int64_t n_prior, const int64_t* in_centers,
+                 const int64_t* in_offsets, const int64_t* in_members,
+                 int64_t n_clusters, mc2_progress_cb progress_cb,
+                 mc2_state_cb state_cb, int64_t* out_centers,
                  int64_t* out_member_offsets, int64_t* out_members,
                  int64_t* out_n_clusters, int64_t* out_iterations,
                  int64_t* out_pairs) {
@@ -387,16 +418,20 @@ int update_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n_points,
     // sized to one iteration's unique pairs; grow() doubles as the memo
     // accumulates across iterations (rehash cost is trivial vs scoring)
     ScoreMemo memo((size_t)in_offsets[n_clusters]);
-    std::vector<int64_t> num_clusters;
+    // cluster-count history indexed by absolute iteration: resumes carry
+    // the prior iterations' counts so the 3-iterations-ago early stop sees
+    // the same history as an unbroken run
+    std::vector<int64_t> num_clusters(prior_counts, prior_counts + n_prior);
+    std::vector<int64_t> sc_centers, sc_offsets, sc_members;
     int64_t its = 0;
-    for (int64_t it = 0; it < iterations; it++) {
+    for (int64_t it = start_it; it < iterations; it++) {
         if (it >= 3 &&
             (int64_t)clusters.size() == num_clusters[it - 3])
             break;
-        // segment skipping needs one full iteration behind it: the per-
-        // cluster stable/center_changed/merge_dirty flags then delimit
-        // exactly which segments' inputs are unchanged
-        bool allow_skip = it > 0;
+        // segment skipping needs one full executed iteration behind it:
+        // the stable/center_changed/merge_dirty flags start pessimistic,
+        // so the first iteration after entry (or resume) always runs full
+        bool allow_skip = it > start_it;
         mean_shift_update_pass(v, m, plan, memo, n_points, sim, delta,
                                clusters, allow_skip);
         merge_pass(v, m, plan, memo, n_points, sim, delta, clusters,
@@ -404,6 +439,10 @@ int update_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n_points,
         num_clusters.push_back((int64_t)clusters.size());
         its++;
         if (progress_cb) progress_cb(1);
+        if (state_cb &&
+            export_state(clusters, it + 1, state_cb, &sc_centers,
+                         &sc_offsets, &sc_members) != 0)
+            break;
     }
     // the final delta=0 pass is a different function of the state — never
     // skipped
@@ -442,9 +481,10 @@ int update_run(
     const int32_t* combo_idx1, int32_t n_combos,
     const double* weights, double bias,
     double sim, int64_t delta, int64_t iterations,
+    int64_t start_it, const int64_t* prior_counts, int64_t n_prior,
     const int64_t* in_centers, const int64_t* in_offsets,
     const int64_t* in_members, int64_t n_clusters,
-    mc2_progress_cb progress_cb,
+    mc2_progress_cb progress_cb, mc2_state_cb state_cb,
     int64_t* out_centers, int64_t* out_member_offsets, int64_t* out_members,
     int64_t* out_n_clusters, int64_t* out_iterations, int64_t* out_pairs) {
     ModelSpec m{single_ids, mins,       maxs,       is_sim,   n_singles,
@@ -454,8 +494,9 @@ int update_run(
     {                                                                        \
         PointsView<T> v{(const T*)counts, mags, lengths, stddevs, self_dots, \
                         dim};                                                \
-        return update_run_t(v, m, n, sim, delta, iterations, in_centers,     \
-                            in_offsets, in_members, n_clusters, progress_cb, \
+        return update_run_t(v, m, n, sim, delta, iterations, start_it,       \
+                            prior_counts, n_prior, in_centers, in_offsets,   \
+                            in_members, n_clusters, progress_cb, state_cb,   \
                             out_centers, out_member_offsets, out_members,    \
                             out_n_clusters, out_iterations, out_pairs);      \
     }
