@@ -45,6 +45,16 @@ def save_checkpoint(path: str, clusters, *, phase: str, iteration: int,
         np.concatenate([np.asarray(c.members, dtype=np.int64) for c in live])
         if live else np.zeros(0, dtype=np.int64)
     )
+    save_checkpoint_arrays(path, centers, offsets, members, phase=phase,
+                           iteration=iteration, num_clusters=num_clusters,
+                           fingerprint=fingerprint)
+
+
+def save_checkpoint_arrays(path: str, centers, offsets, members, *,
+                           phase: str, iteration: int,
+                           num_clusters: List[int], fingerprint: str) -> None:
+    """save_checkpoint over already-flattened (centers, offsets, members)
+    int64 arrays — the native update driver's per-iteration export format."""
     tmp = path + ".tmp"
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp,

@@ -494,7 +494,8 @@ class MeanShiftEngine:
         num_clusters = list(num_clusters) if num_clusters else []
         prog = Progress(self.iterations, "Update")  # ClusterFactory.cpp:634
         prog.set(start_it)
-        if self._native_update(clusters, prog, checkpoint, start_it):
+        if self._native_update(clusters, prog, checkpoint, start_it,
+                               num_clusters):
             prog.end()
             return
         saved_scorer = self.scorer
@@ -525,24 +526,49 @@ class MeanShiftEngine:
             self.scorer = saved_scorer
 
     def _native_update(self, clusters: List[Cluster], prog, checkpoint,
-                       start_it: int) -> bool:
+                       start_it: int, num_clusters: List[int]) -> bool:
         """One-call native update/merge driver (native/update.cpp) — the
         whole phase without the Python memo's sorted-array store or the
-        per-iteration numpy pair bookkeeping.  Used only on plain runs (no
-        checkpointing/resume, which need per-iteration host snapshots);
-        mutates `clusters` in place and returns True on success."""
+        per-iteration numpy pair bookkeeping.  Checkpointing/resume ride
+        the driver's per-iteration state callback and start_it/prior-count
+        entry points; mutates `clusters` in place and returns True on
+        success."""
         import os
 
         from ..native import NativeScorer
 
-        if checkpoint or start_it:
-            return False
         if os.environ.get("MC2_NO_NATIVE_UPDATE"):
             return False
         if type(self.scorer) is not NativeScorer:
             return False
+        state_cb = None
+        cb_error: List[BaseException] = []
+        if checkpoint:
+            from .checkpoint import save_checkpoint_arrays
+
+            counts_hist = list(num_clusters)
+
+            def state_cb(it, centers, offsets, members):
+                counts_hist.append(len(centers))
+                try:
+                    save_checkpoint_arrays(
+                        checkpoint, centers, offsets, members,
+                        phase="update", iteration=it,
+                        num_clusters=counts_hist,
+                        fingerprint=self._run_fingerprint(),
+                    )
+                except BaseException as e:  # noqa: BLE001 — no raising into C
+                    cb_error.append(e)
+                    return 1
+                return 0
+
         res = self.scorer.update(clusters, self.sim, self.delta,
-                                 self.iterations, progress_step=prog.step)
+                                 self.iterations, progress_step=prog.step,
+                                 start_it=start_it,
+                                 prior_counts=num_clusters[:start_it],
+                                 state_cb=state_cb)
+        if cb_error:
+            raise cb_error[0]
         if res is None:
             return False
         centers, offsets, members, its, pairs = res

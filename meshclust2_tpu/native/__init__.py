@@ -39,6 +39,13 @@ _u32p = ctypes.POINTER(ctypes.c_uint32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _f64p = ctypes.POINTER(ctypes.c_double)
 _PROGRESS_CB = ctypes.CFUNCTYPE(None, ctypes.c_int64)
+# per-iteration state export from the native update driver:
+# (iteration_completed, n_clusters, centers, member_offsets, members, total)
+# -> nonzero aborts the remaining iterations
+_STATE_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+    ctypes.c_int64,
+)
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
@@ -109,8 +116,10 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         _i32p, _i32p, _i32p, ctypes.c_int32,             # combos
         _f64p, ctypes.c_double,                          # weights, bias
         ctypes.c_double, ctypes.c_int64, ctypes.c_int64,  # sim, delta, iters
+        ctypes.c_int64, i64p, ctypes.c_int64,            # start_it, prior counts
         i64p, i64p, i64p, ctypes.c_int64,                # input clusters
         _PROGRESS_CB,                                    # progress callback
+        _STATE_CB,                                       # per-iteration state
         i64p, i64p, i64p, i64p, i64p, i64p,              # outputs
     ]
     lib.update_run.restype = ctypes.c_int
@@ -794,11 +803,19 @@ class NativeScorer:
         )
 
     def update(self, clusters, sim: float, delta: int, iterations: int,
-               progress_step=None):
+               progress_step=None, start_it: int = 0,
+               prior_counts=None, state_cb=None):
         """Run the whole update/merge phase natively (native/update.cpp)
         over (center_row, members) clusters.  Returns (centers,
         member_offsets, members, iterations_run, pairs_scored) flat int64
-        arrays, or None when the native driver declines."""
+        arrays, or None when the native driver declines.
+
+        Resume support: ``start_it`` and ``prior_counts`` (the cluster-count
+        history of the already-executed iterations, len == start_it) make the
+        3-iterations-ago early stop see the same history as an unbroken run.
+        ``state_cb(it, centers, offsets, members)`` (numpy views, valid only
+        during the call) is invoked after every completed iteration; a
+        truthy return aborts the remaining iterations."""
         in_centers = np.array([c.center_row for c in clusters],
                               dtype=np.int64)
         nc_in = len(clusters)
@@ -816,6 +833,24 @@ class NativeScorer:
             cb = _PROGRESS_CB(lambda k: progress_step(k))
         else:
             cb = _PROGRESS_CB(0)
+        prior = np.asarray(
+            prior_counts if prior_counts is not None else [], dtype=np.int64
+        )
+        if len(prior) != start_it:
+            raise ValueError(
+                f"prior_counts must have start_it={start_it} entries, "
+                f"got {len(prior)}"
+            )
+        if state_cb is not None:
+            def _state_thunk(it, nc, cen_p, off_p, mem_p, tot):
+                cen = np.ctypeslib.as_array(cen_p, shape=(nc,))
+                off = np.ctypeslib.as_array(off_p, shape=(nc + 1,))
+                mem = np.ctypeslib.as_array(mem_p, shape=(tot,))
+                return int(bool(state_cb(int(it), cen, off, mem)))
+
+            scb = _STATE_CB(_state_thunk)
+        else:
+            scb = _STATE_CB(0)
         rc = self._lib.update_run(
             self._counts.ctypes.data_as(ctypes.c_void_p),
             self._elem_width,
@@ -836,11 +871,13 @@ class NativeScorer:
             self._weights.ctypes.data_as(_f64p),
             self._bias,
             float(sim), int(delta), int(iterations),
+            int(start_it), prior.ctypes.data_as(_i64p), len(prior),
             in_centers.ctypes.data_as(_i64p),
             in_offsets.ctypes.data_as(_i64p),
             in_members.ctypes.data_as(_i64p),
             nc_in,
             cb,
+            scb,
             out_centers.ctypes.data_as(_i64p),
             out_offsets.ctypes.data_as(_i64p),
             out_members.ctypes.data_as(_i64p),
