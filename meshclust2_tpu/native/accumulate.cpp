@@ -26,7 +26,10 @@
 //    (ClusterFactory.cpp:337-380), first strict min wins;
 //  - the same-center scan cache (exact: scores depend only on the two
 //    rows; reused verbatim when every filtered candidate is stamped).
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 #include "score_impl.h"
@@ -36,6 +39,27 @@ namespace {
 using mc2::ModelSpec;
 using mc2::PointsView;
 using mc2::ScorePlan;
+
+// coarse phase accounting, printed to stderr when MC2_NATIVE_PROF is set
+struct AccProf {
+    double range = 0, walk = 0, score = 0, cache = 0, reduce = 0, sweep = 0,
+           ctm = 0;
+    bool on = std::getenv("MC2_NATIVE_PROF") != nullptr;
+    static double now() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    }
+    void dump() const {
+        if (!on) return;
+        std::fprintf(stderr,
+                     "[native accumulate] get_range %.3fs  window-walk %.3fs  "
+                     "score %.3fs  cache-copy %.3fs  reduce %.3fs  "
+                     "sweep %.3fs  closest-to-mean %.3fs\n",
+                     range, walk, score, cache, reduce, sweep, ctm);
+    }
+};
+AccProf g_aprof;
 
 typedef void (*mc2_progress_cb)(int64_t);
 
@@ -263,7 +287,13 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
             int64_t end_len = (int64_t)((double)length / sim);
             BVecNative::Pos front{0, 0}, back{0, 0};
             bool back_empty;
+            double t0 = g_aprof.on ? AccProf::now() : 0;
             bv.get_range(begin_len, end_len, &front, &back, &back_empty);
+            if (g_aprof.on) {
+                double t1 = AccProf::now();
+                g_aprof.range += t1 - t0;
+                t0 = t1;
+            }
 
             int64_t best_row = -1, best_bin = -1, best_slot = -1;
             if (back_empty) {
@@ -296,6 +326,11 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
                     c = 0;
                 }
                 int64_t nc = (int64_t)cand_rows.size();
+                if (g_aprof.on) {
+                    double t1 = AccProf::now();
+                    g_aprof.walk += t1 - t0;
+                    t0 = t1;
+                }
                 if (nc == 0) {
                     is_min = true;
                 } else {
@@ -314,6 +349,11 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
                             prob[i] = cache_prob[cand_rows[i]];
                             dist[i] = cache_dist[cand_rows[i]];
                         }
+                        if (g_aprof.on) {
+                            double t1 = AccProf::now();
+                            g_aprof.cache += t1 - t0;
+                            t0 = t1;
+                        }
                     } else {
                         mc2::score_pairs(v, m, plan, cand_rows.data(), &last,
                                          /*b_stride=*/0, nc, prob.data(),
@@ -325,6 +365,11 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
                             cache_stamp[cand_rows[i]] = cache_epoch;
                             cache_prob[cand_rows[i]] = prob[i];
                             cache_dist[cand_rows[i]] = dist[i];
+                        }
+                        if (g_aprof.on) {
+                            double t1 = AccProf::now();
+                            g_aprof.score += t1 - t0;
+                            t0 = t1;
                         }
                     }
                     windows++;
@@ -343,6 +388,7 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
                     best_row = cand_rows[best_i];
                     best_bin = cand_bins[best_i];
                     best_slot = cand_slots[best_i];
+                    if (g_aprof.on) g_aprof.reduce += AccProf::now() - t0;
                 }
             }
 
@@ -361,8 +407,15 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
                 if (progress_cb) progress_cb((int64_t)members.size());
                 last = nxt;
             } else {
+                double t0 = g_aprof.on ? AccProf::now() : 0;
                 bv.remove_available(front, back, &members);
+                if (g_aprof.on) {
+                    double t1 = AccProf::now();
+                    g_aprof.sweep += t1 - t0;
+                    t0 = t1;
+                }
                 last = closest_to_mean(v, members, &top_buf);
+                if (g_aprof.on) g_aprof.ctm += AccProf::now() - t0;
             }
         }
     }
@@ -370,6 +423,8 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
     *out_n_clusters = n_clusters;
     *out_windows = windows;
     *out_pairs = pairs;
+    g_aprof.dump();
+    g_aprof = AccProf();
     return 0;
 }
 

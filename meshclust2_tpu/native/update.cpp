@@ -31,12 +31,39 @@
 //    misses are scored in one batch per scorer call, in first-miss order,
 //    so the fused kernel's borderline-recheck band sees the same batches
 //    as the Python memo path.
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 #include "score_impl.h"
 
 namespace {
+
+// coarse phase accounting, printed to stderr when MC2_NATIVE_PROF is set
+struct UpdateProf {
+    double lookup = 0, score = 0, pairs = 0, ctm = 0, kept = 0, insert = 0,
+           total = 0;
+    int64_t lookups = 0, scored = 0;
+    bool on = std::getenv("MC2_NATIVE_PROF") != nullptr;
+    static double now() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    }
+    void dump() const {
+        if (!on) return;
+        std::fprintf(stderr,
+                     "[native update] memo-lookup %.3fs (%lld keys)  "
+                     "score %.3fs (%lld pairs)  pair-build %.3fs  "
+                     "kept-build %.3fs  memo-insert %.3fs  "
+                     "closest-to-mean %.3fs  total %.3fs\n",
+                     lookup, (long long)lookups, score, (long long)scored,
+                     pairs, kept, insert, ctm, total);
+    }
+};
+UpdateProf g_prof;
 
 using mc2::ModelSpec;
 using mc2::PointsView;
@@ -52,40 +79,57 @@ typedef int (*mc2_state_cb)(int64_t, int64_t, const int64_t*,
                             const int64_t*, const int64_t*, int64_t);
 
 // Open-addressing (prob, dist) memo keyed by a*n+b.  Keys are nonnegative;
-// empty slots hold -1.
+// empty slots hold -1.  Key and values share one 24-byte slot so a probe
+// (insert or hit) touches a single cache line — the split key/value array
+// layout cost two misses per operation and dominated the update phase
+// (~0.7s of a 1.3s phase at 100k sequences).
 class ScoreMemo {
+    struct Slot {
+        int64_t key;
+        double prob;
+        double dist;
+    };
+
   public:
     explicit ScoreMemo(size_t expect) {
         size_t cap = 1024;
         while (cap < expect * 2) cap <<= 1;
-        keys_.assign(cap, -1);
-        vals_.resize(2 * cap);
+        slots_.assign(cap, Slot{-1, 0.0, 0.0});
     }
 
     bool lookup(int64_t key, double* prob, double* dist) const {
+        size_t mask = slots_.size() - 1;
         size_t i = slot(key);
-        while (keys_[i] != -1) {
-            if (keys_[i] == key) {
-                *prob = vals_[2 * i];
-                *dist = vals_[2 * i + 1];
+        while (slots_[i].key != -1) {
+            if (slots_[i].key == key) {
+                *prob = slots_[i].prob;
+                *dist = slots_[i].dist;
                 return true;
             }
-            i = (i + 1) & (keys_.size() - 1);
+            i = (i + 1) & mask;
         }
         return false;
     }
 
     void insert(int64_t key, double prob, double dist) {
-        if (2 * (count_ + 1) > keys_.size()) grow();
+        if (2 * (count_ + 1) > slots_.size()) grow();
+        size_t mask = slots_.size() - 1;
         size_t i = slot(key);
-        while (keys_[i] != -1) {
-            if (keys_[i] == key) return;  // first value wins (exact dupes)
-            i = (i + 1) & (keys_.size() - 1);
+        while (slots_[i].key != -1) {
+            if (slots_[i].key == key) return;  // first value wins (exact dupes)
+            i = (i + 1) & mask;
         }
-        keys_[i] = key;
-        vals_[2 * i] = prob;
-        vals_[2 * i + 1] = dist;
+        slots_[i] = Slot{key, prob, dist};
         count_++;
+    }
+
+    // presize before a batch of inserts so growth never rehashes mid-batch
+    void reserve_extra(size_t extra) {
+        size_t need = count_ + extra;
+        if (2 * need <= slots_.size()) return;
+        size_t cap = slots_.size();
+        while (2 * need > cap) cap <<= 1;
+        rehash(cap);
     }
 
     int64_t misses() const { return misses_; }
@@ -94,23 +138,25 @@ class ScoreMemo {
   private:
     size_t slot(int64_t key) const {
         uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
-        return (size_t)(h >> 17) & (keys_.size() - 1);
+        return (size_t)(h >> 17) & (slots_.size() - 1);
     }
 
-    void grow() {
-        std::vector<int64_t> ok;
-        std::vector<double> ov;
-        ok.swap(keys_);
-        ov.swap(vals_);
-        keys_.assign(ok.size() * 2, -1);
-        vals_.assign(2 * keys_.size(), 0.0);
-        count_ = 0;
-        for (size_t i = 0; i < ok.size(); i++)
-            if (ok[i] != -1) insert(ok[i], ov[2 * i], ov[2 * i + 1]);
+    void grow() { rehash(slots_.size() * 2); }
+
+    void rehash(size_t cap) {
+        std::vector<Slot> old;
+        old.swap(slots_);
+        slots_.assign(cap, Slot{-1, 0.0, 0.0});
+        size_t mask = cap - 1;
+        for (const Slot& s : old) {
+            if (s.key == -1) continue;
+            size_t i = slot(s.key);
+            while (slots_[i].key != -1) i = (i + 1) & mask;
+            slots_[i] = s;
+        }
     }
 
-    std::vector<int64_t> keys_;
-    std::vector<double> vals_;
+    std::vector<Slot> slots_;
     size_t count_ = 0;
     int64_t misses_ = 0;
 };
@@ -149,10 +195,15 @@ void memo_score(const PointsView<T>& v, const ModelSpec& m,
     int64_t np = (int64_t)a_arr.size();
     prob->resize(np);
     dist->resize(np);
+    double t0 = g_prof.on ? UpdateProf::now() : 0;
     std::vector<int64_t> miss_idx;
     for (int64_t i = 0; i < np; i++) {
         int64_t key = a_arr[i] * n_points + b_arr[i];
         if (!memo.lookup(key, &(*prob)[i], &(*dist)[i])) miss_idx.push_back(i);
+    }
+    if (g_prof.on) {
+        g_prof.lookup += UpdateProf::now() - t0;
+        g_prof.lookups += np;
     }
     if (miss_idx.empty()) return;
     std::vector<int64_t> ma(miss_idx.size()), mb(miss_idx.size());
@@ -161,14 +212,22 @@ void memo_score(const PointsView<T>& v, const ModelSpec& m,
         mb[k] = b_arr[miss_idx[k]];
     }
     std::vector<double> mp(miss_idx.size()), md(miss_idx.size());
+    t0 = g_prof.on ? UpdateProf::now() : 0;
     mc2::score_pairs(v, m, plan, ma.data(), mb.data(), /*b_stride=*/1,
                      (int64_t)ma.size(), mp.data(), md.data());
+    if (g_prof.on) {
+        g_prof.score += UpdateProf::now() - t0;
+        g_prof.scored += (int64_t)ma.size();
+    }
     memo.add_misses((int64_t)ma.size());
+    t0 = g_prof.on ? UpdateProf::now() : 0;
+    memo.reserve_extra(miss_idx.size());
     for (size_t k = 0; k < miss_idx.size(); k++) {
         (*prob)[miss_idx[k]] = mp[k];
         (*dist)[miss_idx[k]] = md[k];
         memo.insert(ma[k] * n_points + mb[k], mp[k], md[k]);
     }
+    if (g_prof.on) g_prof.insert += UpdateProf::now() - t0;
 }
 
 template <typename T>
@@ -193,6 +252,7 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
     }
     a_arr.reserve(reserve_pairs);
     b_arr.reserve(reserve_pairs);
+    double tp0 = g_prof.on ? UpdateProf::now() : 0;
     std::vector<int64_t> seg_bounds(C + 1, 0);
     std::vector<uint8_t> skipped(C, 0);
     for (int64_t j = 0; j < C; j++) {
@@ -220,6 +280,7 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
             }
         seg_bounds[j + 1] = (int64_t)a_arr.size();
     }
+    if (g_prof.on) g_prof.pairs += UpdateProf::now() - tp0;
     std::vector<double> prob, dist;
     memo_score(v, m, plan, memo, n_points, a_arr, b_arr, &prob, &dist);
 
@@ -228,6 +289,7 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
     std::vector<int64_t> new_centers(C);
     std::vector<std::vector<int64_t>> kept(C);
     std::vector<int64_t> todo;
+    double tk0 = g_prof.on ? UpdateProf::now() : 0;
     for (int64_t j = 0; j < C; j++) {
         ClusterState& cl = clusters[j];
         if (skipped[j]) {
@@ -245,6 +307,8 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
             todo.push_back(j);
         }
     }
+    if (g_prof.on) g_prof.kept += UpdateProf::now() - tk0;
+    double tc0 = g_prof.on ? UpdateProf::now() : 0;
 #pragma omp parallel
     {
         std::vector<double> top_buf(v.dim);
@@ -254,6 +318,7 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
             new_centers[j] = closest_to_mean(v, kept[j], &top_buf);
         }
     }
+    if (g_prof.on) g_prof.ctm += UpdateProf::now() - tc0;
     for (int64_t t = 0; t < (int64_t)todo.size(); t++) {
         int64_t j = todo[t];
         clusters[j].prev_kept.swap(kept[j]);
@@ -407,6 +472,7 @@ int update_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n_points,
                  int64_t* out_pairs) {
     ScorePlan<T> plan;
     if (!plan.build(m, v.self_dots)) return -1;
+    double tt0 = g_prof.on ? UpdateProf::now() : 0;
 
     std::vector<ClusterState> clusters(n_clusters);
     for (int64_t i = 0; i < n_clusters; i++) {
@@ -460,6 +526,9 @@ int update_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n_points,
     *out_n_clusters = C;
     *out_iterations = its;
     *out_pairs = memo.misses();
+    if (g_prof.on) g_prof.total = UpdateProf::now() - tt0;
+    g_prof.dump();
+    g_prof = UpdateProf();
     return 0;
 }
 
