@@ -26,6 +26,7 @@
 //    (ClusterFactory.cpp:337-380), first strict min wins;
 //  - the same-center scan cache (exact: scores depend only on the two
 //    rows; reused verbatim when every filtered candidate is stamped).
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -269,8 +270,13 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
     // scratch (sized lazily; windows can approach n)
     std::vector<int64_t> cand_rows, cand_bins, cand_slots;
     std::vector<double> prob, dist;
-    std::vector<double> top_buf(v.dim);
+    std::vector<double> top_buf(2 * v.dim);
     std::vector<int64_t> members;
+    // running member-order row sum for closest-to-mean: re-centering happens
+    // after every sweep while `members` only ever grows, so fold in just the
+    // newly swept rows (identical accumulation order → bit-identical mean)
+    std::vector<double> member_sum(v.dim);
+    size_t summed_upto = 0;
 
     int64_t windows = 0, pairs = 0;
     int64_t n_clusters = 0, member_pos = 0;
@@ -280,6 +286,8 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
     while (last >= 0) {
         members.clear();
         members.push_back(last);
+        std::fill(member_sum.begin(), member_sum.end(), 0.0);
+        summed_upto = 0;
         bool is_min = false;
         while (!is_min) {
             int64_t length = v.lengths[last];
@@ -414,7 +422,13 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
                     g_aprof.sweep += t1 - t0;
                     t0 = t1;
                 }
-                last = closest_to_mean(v, members, &top_buf);
+                for (; summed_upto < members.size(); summed_upto++) {
+                    const T* row = v.row(members[summed_upto]);
+                    for (int64_t i = 0; i < v.dim; i++) member_sum[i] += row[i];
+                }
+                last = mc2::closest_to_mean_presummed(
+                    v, members, member_sum.data(), &top_buf,
+                    /*allow_parallel=*/true);
                 if (g_aprof.on) g_aprof.ctm += AccProf::now() - t0;
             }
         }

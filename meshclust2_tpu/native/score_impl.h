@@ -944,38 +944,81 @@ static inline void fused_stats_u8(const uint8_t* p, const uint8_t* q,
 // (ClusterFactory.cpp:337-380 / DivergencePoint.cpp:54-66 with its
 // truncating uint64 mag accumulation); first strict minimum wins.  Used by
 // the accumulate and update phase drivers.
+//
+// The presummed variant takes the member-order running sum of the rows
+// (exactly the prefix of the reference's own accumulation order, so the
+// float64 mean is bit-identical) — the accumulate driver maintains it
+// incrementally instead of re-summing the growing member list every
+// re-centering round.  The rounded mean is hoisted out of the per-member
+// loop (it only depends on the mean).  `allow_parallel` distributes the
+// per-member distance pass over OpenMP threads for large clusters; the
+// first-strict-minimum scan stays serial in member order, so the result is
+// unchanged.  top_buf is resized to 2*dim (mean + rounded mean).
 template <typename T>
-int64_t closest_to_mean(const PointsView<T>& v,
-                        const std::vector<int64_t>& members,
-                        std::vector<double>* top_buf) {
+int64_t closest_to_mean_presummed(const PointsView<T>& v,
+                                  const std::vector<int64_t>& members,
+                                  const double* sum,
+                                  std::vector<double>* top_buf,
+                                  bool allow_parallel = false) {
     int64_t dim = v.dim;
+    if ((int64_t)top_buf->size() < 2 * dim) top_buf->resize(2 * dim);
     double* top = top_buf->data();
-    for (int64_t i = 0; i < dim; i++) top[i] = 0.0;
-    for (int64_t r : members) {
-        const T* row = v.row(r);
-        for (int64_t i = 0; i < dim; i++) top[i] += row[i];
-    }
+    double* rt = top + dim;
     double n = (double)members.size();
-    for (int64_t i = 0; i < dim; i++) top[i] /= n;
-    double best = 1e300;
-    int64_t best_row = -1;
-    for (int64_t r : members) {
+    for (int64_t i = 0; i < dim; i++) {
+        top[i] = sum[i] / n;  // sum may alias top: same-index read-then-write
+        rt[i] = std::floor(top[i] + 0.5);
+    }
+    int64_t nm = (int64_t)members.size();
+    auto dist_of = [&](int64_t r) {
         const T* row = v.row(r);
         uint64_t dist = 0, mag = 0;
         for (int64_t i = 0; i < dim; i++) {
-            double rt = std::floor(top[i] + 0.5);
             double cv = (double)row[i];
-            dist += 2 * (uint64_t)std::min(cv, rt);
+            dist += 2 * (uint64_t)std::min(cv, rt[i]);
             mag += (uint64_t)(cv + top[i]);
         }
         double frac = (double)dist / (double)mag;
-        double d = 10000.0 * (1.0 - frac * frac);
+        return 10000.0 * (1.0 - frac * frac);
+    };
+    if (allow_parallel && nm >= 64 && nm * dim >= ((int64_t)1 << 16)) {
+        std::vector<double> d(nm);
+#pragma omp parallel for schedule(static)
+        for (int64_t k = 0; k < nm; k++) d[k] = dist_of(members[k]);
+        double best = d[0];
+        int64_t best_row = members[0];
+        for (int64_t k = 1; k < nm; k++)
+            if (d[k] < best) {
+                best = d[k];
+                best_row = members[k];
+            }
+        return best_row;
+    }
+    double best = 1e300;
+    int64_t best_row = -1;
+    for (int64_t r : members) {
+        double d = dist_of(r);
         if (best_row < 0 || d < best) {
             best = d;
             best_row = r;
         }
     }
     return best_row;
+}
+
+template <typename T>
+int64_t closest_to_mean(const PointsView<T>& v,
+                        const std::vector<int64_t>& members,
+                        std::vector<double>* top_buf) {
+    int64_t dim = v.dim;
+    if ((int64_t)top_buf->size() < 2 * dim) top_buf->resize(2 * dim);
+    double* top = top_buf->data();
+    for (int64_t i = 0; i < dim; i++) top[i] = 0.0;
+    for (int64_t r : members) {
+        const T* row = v.row(r);
+        for (int64_t i = 0; i < dim; i++) top[i] += row[i];
+    }
+    return closest_to_mean_presummed(v, members, top, top_buf);
 }
 
 // Per-model dispatch state resolved once per batch (feature table, fused
