@@ -1,0 +1,824 @@
+"""Device-resident mean-shift accumulation.
+
+The reference's accumulation phase (ClusterFactory.cpp:552-610 driving
+Trainer::get_close, Trainer.cpp:22-71) is a sequential, data-dependent loop:
+each step scans a length window of the live pool against the current center,
+absorbs classifier positives, and re-centers on the member closest to the
+member mean.  Round 1/2 drove this loop from the host with one device
+dispatch per window, which pays interconnect latency per center (~80x
+slowdown through a tunneled chip).  This module re-expresses the WHOLE phase
+as one on-device `lax.while_loop`: histograms, lengths, alive masks, and
+membership live in device memory; the host receives only the final
+(assignment, step, centers) arrays.
+
+Exactness strategy (decisions must match the float64 host oracle bit for
+bit, but this platform's emulated f64 is low precision):
+
+  - all pairwise sufficient statistics (sum-min, dot, EMD prefix) are exact
+    integer arithmetic (the same envelope as ops/pallas_stats.py);
+  - the classifier epilogue (derive singles, normalize, combos, GLM sum,
+    the dist used for argmax) runs in double-float f32 arithmetic
+    (ops/ddf32.py, ~2^-45 relative error);
+  - the rounded-logistic gates compare the GLM sum against float64 edges
+    precomputed by bit-bisection on the host (model/thresholds.py);
+  - EVERY data-dependent decision carries a margin guard: if any decision
+    falls within `margin` of an edge/tie (and is not provably an exact
+    tie of identical integer inputs), the loop aborts with its full state
+    and the host oracle resumes the run from that exact point
+    (MeanShiftEngine._host_accumulate_loop) — so the device path can never
+    change a clustering decision relative to the float64 semantics;
+  - closest-to-mean (DivergencePoint::distance_d against the member mean,
+    ClusterFactory.cpp:337-380) is computed from exact integer stats with
+    per-bin guards on the two float64 rounding corners (round of the f64
+    mean, trunc of count+mean), see _mean_round_guard.
+
+bvec window semantics (bvec.cpp:260-330 + the binary-search quirks kept by
+cluster/bvec.py) are reproduced with closed forms over masked reductions:
+the reference's in-bin search is lower_bound with `high` initialized to
+size-1, so an absent boundary resolves to min(lower_bound, size-1) and a
+present one to its first/last occurrence; empty bins redirect to the
+first/last non-empty bin at slot 0.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ..features import flags as F
+from ..model.classifier import CompiledModel
+from ..model import thresholds as TH
+from ..kmer.counting import PointSet
+from ..ops import ddf32 as DD
+from .bvec import BVec
+
+# singles the dd epilogue can derive from the integer stats
+DD_DERIVABLE = frozenset({
+    F.FEAT_MANHATTAN, F.FEAT_EUCLIDEAN, F.FEAT_INTERSECTION,
+    F.FEAT_KULCZYNSKI2, F.FEAT_SIMRATIO, F.FEAT_NORMALIZED_VECTORS,
+    F.FEAT_PEARSON_COEFF, F.FEAT_D2z, F.FEAT_EUCLIDEAN_Z, F.FEAT_EMD,
+    F.FEAT_LENGTHD,
+})
+
+# relative margin under which a decision is "uncertain" and the device
+# aborts to the host oracle.  dd-f32 carries ~3e-14 relative error and the
+# identity-form singles differ from the host's direct sums by <~1e-11
+# (worst case: pearson's cancelling covariance), so 1e-8 leaves >2 orders
+# of headroom while tripping ~never on real data.
+DEFAULT_MARGIN = float(os.environ.get("MC2_DD_MARGIN", "1e-8"))
+
+_WC = 2048  # scan chunk rows (static shape inside the loop)
+
+
+class DeviceLoopUnsupported(Exception):
+    pass
+
+
+class ResumeState(NamedTuple):
+    """Host continuation point after a guarded abort."""
+    stage: int                 # 1: redo window scan; 2: redo closest-to-mean
+    clusters_done: list        # list of Cluster (complete)
+    current_rows: list         # members of the open cluster, reference order
+    last_row: int              # current center row
+    bv: BVec                   # pool state at the abort point
+
+
+class _ModelPack(NamedTuple):
+    singles: tuple
+    is_sim: tuple
+    mins: tuple                # host f64 per single
+    dens: tuple                # host f64 (max - min) per single
+    combos: tuple              # ((kind, idxs), ...)
+    weights: tuple             # host f64, [0] = intercept
+    pos_edge: float            # f64 GLM-sum edge for round(prob) > 0
+
+
+def _pack_model(model: CompiledModel) -> _ModelPack:
+    singles = tuple(model.singles)
+    if not set(singles) <= DD_DERIVABLE:
+        raise DeviceLoopUnsupported(f"singles {singles} not dd-derivable")
+    edge = TH.positive_edge(model.bias)
+    if not math.isfinite(edge):
+        # decision is constant in s; encode as a huge finite edge
+        edge = -1e30 if edge < 0 else 1e30
+    return _ModelPack(
+        singles=singles,
+        is_sim=tuple(bool(F.FEAT_IS_SIM[s]) for s in singles),
+        mins=tuple(float(v) for v in model.mins),
+        dens=tuple(float(ma - mi) for mi, ma in zip(model.mins, model.maxs)),
+        combos=tuple((kind, tuple(idxs)) for kind, idxs in model.combos),
+        weights=tuple(float(w) for w in model.weights),
+        pos_edge=float(edge),
+    )
+
+
+def _index_of_vec(bounds: np.ndarray, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized BVec._index_of (bvec.cpp:122-147): returns (low, high)
+    with the reference's initialization quirks."""
+    nb = len(bounds)
+    hi_cnt = np.searchsorted(bounds, x, side="right")
+    low = np.where(hi_cnt == 0, nb - 1,
+                   np.where(hi_cnt >= nb, nb - 1, hi_cnt - 1))
+    high = np.where(hi_cnt == 0, 0,
+                    np.where(hi_cnt >= nb, nb - 1, hi_cnt - 1))
+    return low.astype(np.int32), high.astype(np.int32)
+
+
+class DeviceAccumulator:
+    """One-dispatch accumulation for a PointSet + trained model.
+
+    Prepared from a finalized BVec (before any pop).  `run()` returns either
+    (clusters_raw, None) on full completion or (None, ResumeState) on a
+    guarded abort; raises DeviceLoopUnsupported when the dataset/model is
+    outside the exact-arithmetic envelope.
+    """
+
+    def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
+                 margin: float = DEFAULT_MARGIN):
+        self.ps = ps
+        self.model = model
+        self.sim = float(sim)
+        self.margin = float(margin)
+        self.pack = _pack_model(model)
+
+        maxc = int(ps.counts.max()) if ps.n else 0
+        maxmag = int(ps.mags.max()) if ps.n else 0
+        d = ps.dim
+        # exactness envelope: int32 dot / f32-exact EMD prefix / int32
+        # chunk column sums (see pallas_stats.py for the same bounds)
+        if maxmag >= 2**24:
+            raise DeviceLoopUnsupported("pseudo-magnitude >= 2^24")
+        if maxc * maxmag >= 2**31:
+            raise DeviceLoopUnsupported("dot product >= 2^31")
+        if maxc * _WC >= 2**31:
+            raise DeviceLoopUnsupported("chunk column sums >= 2^31")
+        if int(ps.lengths.max()) >= 2**31:
+            raise DeviceLoopUnsupported("length >= 2^31")
+        self_dots = np.einsum(
+            "ij,ij->i", ps.counts.astype(np.int64), ps.counts.astype(np.int64)
+        )
+        if self_dots.max() >= 2**31:
+            raise DeviceLoopUnsupported("self dot >= 2^31")
+        self._self_dots = self_dots
+        self._d = d
+
+    # -- host-side preparation ------------------------------------------------
+
+    def _prepare(self, bv: BVec):
+        ps = self.ps
+        order = np.concatenate([b for b in bv.bins]) if bv.size() else np.zeros(0, np.int64)
+        n = len(order)
+        if n != ps.n:
+            raise DeviceLoopUnsupported("bvec does not cover the point set")
+        nb = len(bv.bins)
+        bin_sizes = np.array([len(b) for b in bv.bins], dtype=np.int64)
+        bin_start = np.zeros(nb + 1, dtype=np.int32)
+        np.cumsum(bin_sizes, out=bin_start[1:])
+        bin_ids = np.repeat(np.arange(nb, dtype=np.int32), bin_sizes)
+
+        lens = ps.lengths[order]
+        L = lens.astype(np.float64)
+        blen = (L * self.sim).astype(np.int64)   # uint64 trunc of f64 product
+        elen = (L / self.sim).astype(np.int64)
+        bounds = np.asarray(bv.begin_bounds, dtype=np.int64)
+        fbin0, _ = _index_of_vec(bounds, blen)
+        _, bbin0 = _index_of_vec(bounds, elen)
+
+        pad = _WC + 8
+        npad = n + pad
+
+        def padded(a, fill, dtype):
+            out = np.full(npad, fill, dtype=dtype)
+            out[:n] = a
+            return out
+
+        host = {
+            "order": order,
+            "n": n,
+            "nb": nb,
+            "bin_start": bin_start,
+        }
+        dev = {
+            "counts": np.zeros((npad, ps.counts.shape[1]), dtype=ps.counts.dtype),
+            "lens": padded(lens, np.iinfo(np.int32).max, np.int32),
+            "bin_ids": padded(bin_ids, nb, np.int32),
+            "blen": padded(blen, 0, np.int32),
+            "elen": padded(elen, 0, np.int32),
+            "fbin0": padded(fbin0, 0, np.int32),
+            "bbin0": padded(bbin0, 0, np.int32),
+            "mags": padded(ps.mags[order], 0, np.int32),
+            "selfdot": padded(self._self_dots[order], 0, np.int32),
+            "bin_start": bin_start,
+        }
+        dev["counts"][:n] = ps.counts[order]
+        sh, sl = DD.split_f64(ps.stddevs[order])
+        dev["std_h"] = padded(sh, 1.0, np.float32)
+        dev["std_l"] = padded(sl, 0.0, np.float32)
+        return host, dev
+
+    # -- dd epilogue ------------------------------------------------------------
+
+    def _derive_singles_dd(self, jnp, stats, a, b):
+        """Mirror of ops/pallas_stats.derive_singles in dd arithmetic.
+
+        stats: dict summin/dot/emd (int32 [W]); a/b: per-side dicts with
+        mags/selfdot (int32/int64), std dd pairs, lens (int32).  Returns a
+        list of dd singles in self.pack.singles order."""
+        d = self._d
+        summin, dot, emd = stats["summin"], stats["dot"], stats["emd"]
+        i64 = lambda v: v.astype(jnp.int64)
+        mag_a, mag_b = i64(a["mags"]), i64(b["mags"])
+        self_a, self_b = i64(a["selfdot"]), i64(b["selfdot"])
+        dd_i = DD.dd_from_i64
+        # exact integer building blocks
+        norm2 = self_a + self_b - 2 * i64(dot)          # < 2^33
+        dd_dot = dd_i(i64(dot))
+        # 1 / d is a power of two: scaling by it is exact in f32
+        inv_d = np.float32(1.0 / d)
+
+        out = []
+        cache = {}
+
+        def sqrt_norm2():
+            if "sq" not in cache:
+                cache["sq"] = DD.dd_sqrt(dd_i(norm2))
+            return cache["sq"]
+
+        def cov():
+            # dot - mags_a * mags_b / d, all exact until the dd conversion
+            if "cov" not in cache:
+                mm = mag_a * mag_b                      # < 2^48 exact
+                t = dd_i(mm)
+                t = (t[0] * inv_d, t[1] * inv_d)        # exact scale
+                cache["cov"] = DD.dd_sub(dd_dot, t)
+            return cache["cov"]
+
+        def var_side(side, mag, self_):
+            key = "var_" + side
+            if key not in cache:
+                mm = mag * mag
+                t = dd_i(mm)
+                t = (t[0] * inv_d, t[1] * inv_d)
+                cache[key] = DD.dd_sub(dd_i(self_), t)
+            return cache[key]
+
+        for flag in self.pack.singles:
+            if flag == F.FEAT_MANHATTAN:
+                out.append(dd_i(mag_a + mag_b - 2 * i64(summin)))
+            elif flag == F.FEAT_EUCLIDEAN:
+                out.append(sqrt_norm2())
+            elif flag == F.FEAT_INTERSECTION:
+                out.append(DD.dd_div(dd_i(2 * i64(summin)), dd_i(mag_a + mag_b)))
+            elif flag == F.FEAT_KULCZYNSKI2:
+                ap = dd_i(mag_a)
+                ap = (ap[0] * inv_d, ap[1] * inv_d)
+                aq = dd_i(mag_b)
+                aq = (aq[0] * inv_d, aq[1] * inv_d)
+                num = DD.dd_add(ap, aq)
+                num = (num[0] * np.float32(d), num[1] * np.float32(d))
+                den = DD.dd_mul(ap, aq)
+                den = (den[0] * np.float32(2.0), den[1] * np.float32(2.0))
+                coeff = DD.dd_div(num, den)
+                out.append(DD.dd_mul(coeff, dd_i(i64(summin))))
+            elif flag == F.FEAT_SIMRATIO:
+                out.append(DD.dd_div(dd_dot, DD.dd_add(dd_dot, sqrt_norm2())))
+            elif flag == F.FEAT_NORMALIZED_VECTORS:
+                out.append(DD.dd_div(dd_dot, DD.dd_sqrt(dd_i(self_a * self_b))))
+            elif flag == F.FEAT_PEARSON_COEFF:
+                na = var_side("a", mag_a, self_a)
+                nb_ = var_side("b", mag_b, self_b)
+                out.append(DD.dd_div(cov(), DD.dd_sqrt(DD.dd_mul(na, nb_))))
+            elif flag == F.FEAT_D2z:
+                sa, sb = a["std"], b["std"]
+                out.append(DD.dd_div(cov(), DD.dd_mul(sa, sb)))
+            elif flag == F.FEAT_EUCLIDEAN_Z:
+                sa, sb = a["std"], b["std"]
+                na = var_side("a", mag_a, self_a)
+                nb_ = var_side("b", mag_b, self_b)
+                ea = DD.dd_div(na, DD.dd_mul(sa, sa))
+                eb = DD.dd_div(nb_, DD.dd_mul(sb, sb))
+                dz = DD.dd_div(cov(), DD.dd_mul(sa, sb))
+                t = DD.dd_add(ea, eb)
+                t = DD.dd_sub(t, (dz[0] * np.float32(2.0), dz[1] * np.float32(2.0)))
+                out.append(DD.dd_sqrt(t))
+            elif flag == F.FEAT_EMD:
+                out.append(dd_i(i64(emd)))
+            elif flag == F.FEAT_LENGTHD:
+                la, lb = i64(a["lens"]), i64(b["lens"])
+                out.append(dd_i(jnp.abs(la - lb)))
+            else:  # pragma: no cover - guarded by _pack_model
+                raise AssertionError(flag)
+        return out
+
+    def _epilogue_dd(self, jnp, singles_dd):
+        """(s, dist) dd from raw dd singles (model.classifier semantics)."""
+        pk = self.pack
+        normed = []
+        for i, v in enumerate(singles_dd):
+            mn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.mins[i]))))
+            dn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.dens[i]))))
+            z = DD.dd_div(DD.dd_sub(v, mn), dn)
+            if not pk.is_sim[i]:
+                one = DD.dd(np.float32(1.0), np.float32(0.0))
+                z = DD.dd_sub(one, z)
+            normed.append(z)
+        combos = []
+        for kind, idxs in pk.combos:
+            if kind == F.COMBO_XY:
+                c = normed[idxs[0]]
+                for j in idxs[1:]:
+                    c = DD.dd_mul(c, normed[j])
+            elif kind == F.COMBO_X2Y2:
+                c = DD.dd_mul(normed[idxs[0]], normed[idxs[0]])
+                for j in idxs[1:]:
+                    c = DD.dd_mul(c, DD.dd_mul(normed[j], normed[j]))
+            elif kind == F.COMBO_XY2:
+                i0, i1 = idxs
+                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i1]), normed[i1])
+            elif kind == F.COMBO_X2Y:
+                i0, i1 = idxs
+                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i0]), normed[i1])
+            else:  # pragma: no cover
+                raise AssertionError(kind)
+            combos.append(c)
+        w0 = DD.split_f64(np.float64(pk.weights[0]))
+        s = DD.dd(np.float32(w0[0]), np.float32(w0[1]))
+        for c, w in zip(combos, pk.weights[1:]):
+            wd = DD.split_f64(np.float64(w))
+            s = DD.dd_add(s, DD.dd_mul(c, DD.dd(np.float32(wd[0]), np.float32(wd[1]))))
+        dist = combos[0] if combos else DD.dd(np.float32(0.0), np.float32(0.0))
+        return s, dist
+
+    # -- the device program ----------------------------------------------------
+
+    def _build_program(self, host, dev):
+        import jax
+        import jax.numpy as jnp
+
+        n = host["n"]
+        nb = host["nb"]
+        npad = len(dev["lens"])
+        D = dev["counts"].shape[1]
+        WC = _WC
+        margin = np.float32(self.margin)
+        edge_dd = DD.dd(*(np.float32(x) for x in
+                          DD.split_f64(np.float64(self.pack.pos_edge))))
+        edge_scale = np.float32(max(abs(self.pack.pos_edge), 1.0))
+        maxc = np.int64(int(self.ps.counts.max()) if self.ps.n else 0)
+        NONE = jnp.int32(npad)
+
+        C = {k: jnp.asarray(v) for k, v in dev.items()}
+
+        class Carry(NamedTuple):
+            alive: jnp.ndarray       # [npad] bool
+            assign: jnp.ndarray      # [npad] int32, -1 = unassigned
+            astep: jnp.ndarray       # [npad] int32
+            centers: jnp.ndarray     # [n+1] int32 flat pos of final centers
+            cid: jnp.ndarray         # int32 current cluster id
+            stepc: jnp.ndarray       # int32 monotone event counter
+            cur: jnp.ndarray         # int32 flat pos of current center
+            msum: jnp.ndarray        # [D] int64 member count-vector sum
+            mcnt: jnp.ndarray        # int32 member count
+            env_lo: jnp.ndarray      # int32 member envelope in flat coords
+            env_hi: jnp.ndarray
+            done: jnp.ndarray        # bool
+            abort: jnp.ndarray       # int32 0/1/2
+            iters: jnp.ndarray       # int32 safety counter
+
+        def row_i32(p):
+            return jax.lax.dynamic_slice(C["counts"], (p, jnp.int32(0)), (1, D))[0].astype(jnp.int32)
+
+        def side_consts(p):
+            return {
+                "mags": C["mags"][p],
+                "selfdot": C["selfdot"][p],
+                "std": (C["std_h"][p], C["std_l"][p]),
+                "lens": C["lens"][p],
+            }
+
+        def scan_window(st: "Carry", rank, posr, gfront, gback, p_lo, p_hi,
+                        blen_c, elen_c):
+            """Chunked window scan: classifier + dist argmax + absorb prep."""
+            cc = row_i32(st.cur)
+            c_side = side_consts(st.cur)
+            neg_inf = jnp.float32(-np.inf)
+
+            class SC(NamedTuple):
+                j: jnp.ndarray
+                bh: jnp.ndarray          # best dist dd
+                bl: jnp.ndarray
+                bpos: jnp.ndarray        # flat pos of best (NONE if none)
+                bsig: tuple              # best's integer/dd signature
+                any_pos: jnp.ndarray
+                uncert: jnp.ndarray
+                msum: jnp.ndarray        # [D] int64 absorbed sums
+                mcnt: jnp.ndarray
+                pmask: jnp.ndarray       # [npad] bool positives
+
+            zero_sig = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                        jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                        jnp.float32(0), jnp.float32(0))
+
+            nchunks = jnp.where(p_hi > p_lo, (p_hi - p_lo + WC - 1) // WC, 0)
+
+            def chunk_body(sc: SC):
+                start = p_lo + sc.j * WC
+                start_c = jnp.minimum(start, jnp.int32(npad - WC))
+                offs = start_c + jnp.arange(WC, dtype=jnp.int32)
+                in_rng = (offs >= start) & (offs < p_hi)
+                aliv = jax.lax.dynamic_slice(st.alive, (start_c,), (WC,))
+                rk = jax.lax.dynamic_slice(rank, (start_c,), (WC,))
+                ll = jax.lax.dynamic_slice(C["lens"], (start_c,), (WC,))
+                msk = in_rng & aliv & (rk >= gfront) & (rk < gback)
+                pass_m = msk & (ll >= blen_c) & (ll <= elen_c)
+
+                blk = jax.lax.dynamic_slice(
+                    C["counts"], (start_c, jnp.int32(0)), (WC, D)).astype(jnp.int32)
+                summin = jnp.minimum(blk, cc[None, :]).sum(axis=1, dtype=jnp.int32)
+                dot = (blk * cc[None, :]).sum(axis=1, dtype=jnp.int32)
+                pref = jnp.cumsum((blk - cc[None, :]).astype(jnp.float32), axis=1)
+                emd = jnp.abs(pref).astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+
+                b_side = {
+                    "mags": jax.lax.dynamic_slice(C["mags"], (start_c,), (WC,)),
+                    "selfdot": jax.lax.dynamic_slice(C["selfdot"], (start_c,), (WC,)),
+                    "std": (jax.lax.dynamic_slice(C["std_h"], (start_c,), (WC,)),
+                            jax.lax.dynamic_slice(C["std_l"], (start_c,), (WC,))),
+                    "lens": ll,
+                }
+                a_bc = {
+                    "mags": jnp.broadcast_to(c_side["mags"], (WC,)),
+                    "selfdot": jnp.broadcast_to(c_side["selfdot"], (WC,)),
+                    "std": (jnp.broadcast_to(c_side["std"][0], (WC,)),
+                            jnp.broadcast_to(c_side["std"][1], (WC,))),
+                    "lens": jnp.broadcast_to(c_side["lens"], (WC,)),
+                }
+                # reference order: feat->compute(candidate, center)
+                stats = {"summin": summin, "dot": dot, "emd": emd}
+                singles = self._derive_singles_dd(jnp, stats, b_side, a_bc)
+                s_dd, dist_dd = self._epilogue_dd(jnp, singles)
+
+                # positive gate with margin guard
+                diff = DD.dd_sub(s_dd, edge_dd)
+                pos = pass_m & ((diff[0] > 0) | ((diff[0] == 0) & (diff[1] >= 0)))
+                s_scale = jnp.maximum(jnp.abs(s_dd[0]), edge_scale)
+                unc = pass_m & (jnp.abs(diff[0] + diff[1]) <= margin * s_scale)
+
+                # dist argmax, first strict max in flat order
+                vh = jnp.where(pass_m, dist_dd[0], neg_inf)
+                vl = jnp.where(pass_m, dist_dd[1], neg_inf)
+                mh = jnp.max(vh)
+                is_mh = (vh == mh) & pass_m
+                ml = jnp.max(jnp.where(is_mh, vl, neg_inf))
+                cand = is_mh & (vl == ml)
+                first_i = jnp.argmax(cand)
+                chunk_any = pass_m.any()
+                sig = (summin, dot, emd, b_side["mags"], b_side["selfdot"],
+                       ll, b_side["std"][0], b_side["std"][1])
+                bsig = tuple(x[first_i] for x in sig)
+                sig_eq_best = pass_m
+                for x, bx in zip(sig, bsig):
+                    sig_eq_best &= (x == bx)
+                vexact_eq = (vh == vh[first_i]) & (vl == vl[first_i])
+                scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
+                near = pass_m & (jnp.abs((vh - vh[first_i]) + (vl - vl[first_i]))
+                                 <= margin * scale)
+                unc_tie = (near & ~(vexact_eq & sig_eq_best)).any() & chunk_any
+
+                # merge chunk best into carry best
+                bdh, bdl = DD.dd_sub((vh[first_i], vl[first_i]), (sc.bh, sc.bl))
+                better = chunk_any & ((bdh > 0) | ((bdh == 0) & (bdl > 0)))
+                equal = chunk_any & (bdh == 0) & (bdl == 0)
+                sig_eq_carry = jnp.bool_(True)
+                for bx, cx in zip(bsig, sc.bsig):
+                    sig_eq_carry &= (bx == cx)
+                cross_near = chunk_any & (sc.bpos != NONE) & (
+                    jnp.abs(bdh + bdl) <= margin *
+                    jnp.maximum(jnp.abs(sc.bh), jnp.float32(1.0)))
+                unc_cross = cross_near & ~((bdh == 0) & (bdl == 0) & sig_eq_carry) \
+                    & ~better & ~(bdh + bdl < -2 * margin)
+                # 'better' replaces; exact-equal keeps the earlier chunk; a
+                # strict-but-near improvement is itself uncertain
+                unc_near_improve = better & cross_near
+                nbh = jnp.where(better, vh[first_i], sc.bh)
+                nbl = jnp.where(better, vl[first_i], sc.bl)
+                npos = jnp.where(better, start_c + first_i.astype(jnp.int32), sc.bpos)
+                nsig = tuple(jnp.where(better, bx, cx)
+                             for bx, cx in zip(bsig, sc.bsig))
+
+                # absorb bookkeeping (int32 column sums are exact: maxc * WC
+                # < 2^31 is part of the envelope)
+                csum = jnp.where(pos[:, None], blk, 0).sum(axis=0, dtype=jnp.int32)
+                old = jax.lax.dynamic_slice(sc.pmask, (start_c,), (WC,))
+                pmask = jax.lax.dynamic_update_slice(sc.pmask, old | pos, (start_c,))
+
+                return SC(
+                    j=sc.j + 1,
+                    bh=nbh, bl=nbl, bpos=npos, bsig=nsig,
+                    any_pos=sc.any_pos | pos.any(),
+                    uncert=sc.uncert | unc.any() | unc_tie | unc_cross | unc_near_improve,
+                    msum=sc.msum + csum.astype(jnp.int64),
+                    mcnt=sc.mcnt + pos.sum(dtype=jnp.int32),
+                    pmask=pmask,
+                )
+
+            init = SC(
+                j=jnp.int32(0), bh=neg_inf, bl=neg_inf, bpos=NONE,
+                bsig=zero_sig, any_pos=jnp.bool_(False), uncert=jnp.bool_(False),
+                msum=jnp.zeros(D, jnp.int64), mcnt=jnp.int32(0),
+                pmask=jnp.zeros(npad, jnp.bool_),
+            )
+            sc = jax.lax.while_loop(lambda s: s.j < nchunks, chunk_body, init)
+            return sc
+
+        def closest_to_mean(st: "Carry", msum, mcnt, env_lo, env_hi):
+            """argmin_p distance_d(p, mean) over members, reference member
+            order (astep, flat) for ties; returns (flat_pos, uncertain)."""
+            num = msum                               # int64 [D]
+            den = mcnt.astype(jnp.int64)
+            q = num // den
+            rem = num - q * den
+            r = ((2 * num + den) // (2 * den)).astype(jnp.int32)  # round-half-up
+            s_floor = jnp.sum(q)
+            # guards on the two f64 corners (see module docstring)
+            half_lhs = jnp.abs(2 * rem - den)
+            tol_half = ((q + 2) * den) >> 51
+            g1 = (half_lhs != 0) & (half_lhs <= tol_half + 1)
+            tol_f = ((q + 2) * den) >> 52
+            g2 = (rem != 0) & (rem <= tol_f + 1)
+            tol_c = ((q + maxc + 2) * den) >> 52
+            g3 = (rem != 0) & ((den - rem) <= tol_c + 1)
+            unc_bins = (g1 | g2 | g3).any()
+
+            neg_inf = jnp.float32(-np.inf)
+            pos_inf = jnp.float32(np.inf)
+
+            class MC(NamedTuple):
+                j: jnp.ndarray
+                vh: jnp.ndarray
+                vl: jnp.ndarray
+                bkey: jnp.ndarray      # int64 packed (astep, flat) of best
+                bsig: tuple            # (dist2, mag) of best
+                uncert: jnp.ndarray
+
+            nchunks = (env_hi - env_lo + WC - 1) // WC
+
+            def chunk_body(mc: MC):
+                start = env_lo + mc.j * WC
+                start_c = jnp.minimum(start, jnp.int32(npad - WC))
+                offs = start_c + jnp.arange(WC, dtype=jnp.int32)
+                in_rng = (offs >= start) & (offs < env_hi)
+                asg = jax.lax.dynamic_slice(st.assign, (start_c,), (WC,))
+                stp = jax.lax.dynamic_slice(st.astep, (start_c,), (WC,))
+                memb = in_rng & (asg == st.cid)
+                blk = jax.lax.dynamic_slice(
+                    C["counts"], (start_c, jnp.int32(0)), (WC, D)).astype(jnp.int32)
+                dist2 = 2 * jnp.minimum(blk, r[None, :]).sum(axis=1, dtype=jnp.int32)
+                mags = jax.lax.dynamic_slice(C["mags"], (start_c,), (WC,))
+                mag = mags.astype(jnp.int64) + s_floor
+                # v = 10000 * (1 - frac^2), frac = dist/mag  (f64 ops in dd)
+                frac = DD.dd_div(DD.dd_from_i64(dist2.astype(jnp.int64)),
+                                 DD.dd_from_i64(mag))
+                f2 = DD.dd_mul(frac, frac)
+                one = (jnp.float32(1.0), jnp.float32(0.0))
+                u = DD.dd_sub(one, f2)
+                vh_, vl_ = u[0] * np.float32(10000.0), u[1] * np.float32(10000.0)
+                vh = jnp.where(memb, vh_, pos_inf)
+                vl = jnp.where(memb, vl_, pos_inf)
+                # chunk argmin by (v, astep, flat)
+                mh = jnp.min(vh)
+                is_m = (vh == mh) & memb
+                ml = jnp.min(jnp.where(is_m, vl, pos_inf))
+                cand = is_m & (vl == ml)
+                key = stp.astype(jnp.int64) * np.int64(npad) + offs.astype(jnp.int64)
+                ckey = jnp.min(jnp.where(cand, key, np.int64(2**62)))
+                ci = jnp.argmax(cand & (key == ckey))
+                chunk_any = memb.any()
+                csig = (dist2[ci], mag[ci])
+                # near-tie guards within the chunk (exact int-equal is safe)
+                sig_eq = memb & (dist2 == csig[0]) & (mag == csig[1])
+                scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
+                near = memb & (jnp.abs((vh - mh) + (vl - ml)) <= margin * scale)
+                unc_tie = (near & ~sig_eq).any() & chunk_any
+
+                dh, dl = DD.dd_sub((mh, ml), (mc.vh, mc.vl))
+                better = chunk_any & ((dh < 0) | ((dh == 0) & (dl < 0)))
+                equal = chunk_any & (dh == 0) & (dl == 0)
+                better_key = equal & (ckey < mc.bkey)
+                take = better | better_key
+                sig_eq_carry = (csig[0] == mc.bsig[0]) & (csig[1] == mc.bsig[1])
+                cross_near = chunk_any & jnp.isfinite(mc.vh) & (
+                    jnp.abs(dh + dl) <= margin *
+                    jnp.maximum(jnp.abs(mc.vh), jnp.float32(1.0)))
+                unc_cross = cross_near & ~(equal & sig_eq_carry)
+
+                return MC(
+                    j=mc.j + 1,
+                    vh=jnp.where(take, mh, mc.vh),
+                    vl=jnp.where(take, ml, mc.vl),
+                    bkey=jnp.where(take, ckey, mc.bkey),
+                    bsig=tuple(jnp.where(take, a_, b_)
+                               for a_, b_ in zip(csig, mc.bsig)),
+                    uncert=mc.uncert | unc_tie | unc_cross,
+                )
+
+            init = MC(j=jnp.int32(0), vh=pos_inf, vl=pos_inf,
+                      bkey=jnp.int64(2**62),
+                      bsig=(jnp.int32(0), jnp.int64(0)),
+                      uncert=jnp.bool_(False))
+            mc = jax.lax.while_loop(lambda s: s.j < nchunks, chunk_body, init)
+            best_flat = (mc.bkey % np.int64(npad)).astype(jnp.int32)
+            return best_flat, mc.uncert | unc_bins
+
+        def body(st: Carry):
+            alive_i = st.alive.astype(jnp.int32)
+            crank = jnp.cumsum(alive_i)
+            rank = crank - alive_i
+            total = crank[-1]
+            # alive rank at each bin start; bins are contiguous in flat order
+            ras = jnp.concatenate([rank[C["bin_start"]][:nb], total[None]])
+            bin_cnt = ras[1:] - ras[:-1]
+            idxs = jnp.where(st.alive, rank, jnp.int32(npad))
+            posr = jnp.full(npad, NONE, jnp.int32).at[idxs].set(
+                jnp.arange(npad, dtype=jnp.int32), mode="drop")
+
+            blen_c = C["blen"][st.cur]
+            elen_c = C["elen"][st.cur]
+            nonempty = bin_cnt > 0
+            any_ne = total > 0
+            first_ne = jnp.argmax(nonempty).astype(jnp.int32)
+            last_ne = jnp.int32(nb - 1) - jnp.argmax(nonempty[::-1]).astype(jnp.int32)
+
+            def inner(target, b0, is_front):
+                empty = bin_cnt[b0] == 0
+                b = jnp.where(empty, first_ne if is_front else last_ne, b0)
+                inbin = st.alive & (C["bin_ids"] == b)
+                lb = jnp.sum(inbin & (C["lens"] < target), dtype=jnp.int32)
+                eq = jnp.sum(inbin & (C["lens"] == target), dtype=jnp.int32)
+                nbn = bin_cnt[b]
+                absent = jnp.minimum(lb, jnp.maximum(nbn - 1, 0))
+                present_slot = lb if is_front else lb + eq - 1
+                slot = jnp.where(eq > 0, present_slot, absent)
+                slot = jnp.where(empty, 0, slot)
+                return b, slot
+
+            fb, fslot = inner(blen_c, C["fbin0"][st.cur], True)
+            bb, bslot = inner(elen_c, C["bbin0"][st.cur], False)
+            gfront = ras[fb] + fslot
+            gback = ras[bb] + bslot
+            have_window = any_ne & (gback > gfront)
+            p_lo = jnp.where(have_window, posr[jnp.where(have_window, gfront, 0)], 0)
+            p_hi = jnp.where(
+                have_window,
+                posr[jnp.where(have_window, gback - 1, 0)] + 1,
+                0,
+            )
+
+            sc = scan_window(st, rank, posr, gfront, gback, p_lo, p_hi,
+                             blen_c, elen_c)
+            is_min = ~sc.any_pos
+            best_valid = sc.bpos != NONE
+
+            def uncertain_case(st):
+                return st._replace(abort=jnp.int32(1), done=jnp.bool_(True))
+
+            def min_case(st: Carry):
+                centers = st.centers.at[st.cid].set(st.cur)
+                seed = jnp.where(best_valid, sc.bpos, posr[0])
+                none_left = (~best_valid) & (total == 0)
+                seed_row = jnp.where(none_left, 0, seed)
+                alive = st.alive.at[seed_row].set(
+                    jnp.where(none_left, st.alive[seed_row], False))
+                new_cid = st.cid + 1
+                assign = st.assign.at[seed_row].set(
+                    jnp.where(none_left, st.assign[seed_row], new_cid))
+                astep = st.astep.at[seed_row].set(
+                    jnp.where(none_left, st.astep[seed_row], st.stepc))
+                msum = jnp.where(none_left, st.msum,
+                                 row_i32(seed_row).astype(jnp.int64))
+                return st._replace(
+                    alive=alive, assign=assign, astep=astep, centers=centers,
+                    cid=new_cid, stepc=st.stepc + 1, cur=seed_row,
+                    msum=msum, mcnt=jnp.int32(1),
+                    env_lo=seed_row, env_hi=seed_row + 1,
+                    done=none_left,
+                )
+
+            def absorb_case(st: Carry):
+                alive = st.alive & ~sc.pmask
+                assign = jnp.where(sc.pmask, st.cid, st.assign)
+                astep = jnp.where(sc.pmask, st.stepc, st.astep)
+                msum = st.msum + sc.msum
+                mcnt = st.mcnt + sc.mcnt
+                env_lo = jnp.minimum(st.env_lo, p_lo)
+                env_hi = jnp.maximum(st.env_hi, p_hi)
+                st2 = st._replace(alive=alive, assign=assign, astep=astep,
+                                  stepc=st.stepc + 1, msum=msum, mcnt=mcnt,
+                                  env_lo=env_lo, env_hi=env_hi)
+                best_flat, unc = closest_to_mean(st2, msum, mcnt, env_lo, env_hi)
+                return jax.lax.cond(
+                    unc,
+                    lambda s: s._replace(abort=jnp.int32(2), done=jnp.bool_(True)),
+                    lambda s: s._replace(cur=best_flat),
+                    st2,
+                )
+
+            st = jax.lax.cond(
+                sc.uncert,
+                uncertain_case,
+                lambda s: jax.lax.cond(is_min, min_case, absorb_case, s),
+                st,
+            )
+            return st._replace(iters=st.iters + 1)
+
+        max_iters = 2 * n + 16
+
+        def cond(st: Carry):
+            return (~st.done) & (st.iters < max_iters)
+
+        def program():
+            alive = jnp.zeros(npad, jnp.bool_).at[:n].set(True)
+            alive = alive.at[0].set(False)  # first pop
+            assign = jnp.full(npad, -1, jnp.int32).at[0].set(0)
+            astep = jnp.zeros(npad, jnp.int32)
+            st = Carry(
+                alive=alive, assign=assign, astep=astep,
+                centers=jnp.zeros(n + 1, jnp.int32),
+                cid=jnp.int32(0), stepc=jnp.int32(1), cur=jnp.int32(0),
+                msum=row_i32(jnp.int32(0)).astype(jnp.int64),
+                mcnt=jnp.int32(1),
+                env_lo=jnp.int32(0), env_hi=jnp.int32(1),
+                done=jnp.bool_(n == 0), abort=jnp.int32(0),
+                iters=jnp.int32(0),
+            )
+            st = jax.lax.while_loop(cond, body, st)
+            return (st.abort, st.cid, st.cur, st.alive[:n], st.assign[:n],
+                    st.astep[:n], st.centers, st.iters)
+
+        return jax.jit(program)
+
+    # -- public entry ------------------------------------------------------------
+
+    def run(self, bv: BVec):
+        """Returns (clusters_raw, None) on completion, or (None, ResumeState)
+        on a guarded abort.  clusters_raw is a list of (center_row,
+        [member_rows...]) in creation order."""
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        host, dev = self._prepare(bv)
+        prog = self._build_program(host, dev)
+        abort, cid, cur, alive, assign, astep, centers, iters = (
+            np.asarray(x) for x in prog())
+        n = host["n"]
+        order = host["order"]
+        n_it = int(iters)
+        if n_it >= 2 * n + 16:
+            raise RuntimeError("device accumulate exceeded its iteration bound")
+        abort = int(abort)
+
+        def members_of(c):
+            idx = np.nonzero(assign == c)[0]
+            key = astep[idx].astype(np.int64) * (n + 1) + idx
+            return idx[np.argsort(key, kind="stable")]
+
+        if abort == 0:
+            ncl = int(cid)
+            out = []
+            for c in range(ncl):
+                flat = members_of(c)
+                out.append((int(order[centers[c]]), order[flat].tolist()))
+            return out, None
+        # guarded abort: reconstruct the exact host state
+        done_clusters = []
+        for c in range(int(cid)):
+            flat = members_of(c)
+            done_clusters.append((int(order[centers[c]]), order[flat].tolist()))
+        cur_flat = members_of(int(cid))
+        current_rows = order[cur_flat].tolist()
+        # rebuild a BVec directly from the alive flags (order preserved;
+        # __init__ fields are fully overwritten below)
+        bv2 = BVec(self.ps.lengths, bin_size=1000)
+        bv2.begin_bounds = list(bv.begin_bounds)
+        bv2._bounds_arr = np.asarray(bv2.begin_bounds, dtype=np.int64)
+        bv2._lengths = np.asarray(self.ps.lengths, dtype=np.int64)
+        bin_start = host["bin_start"]
+        bins, marks = [], []
+        for b in range(host["nb"]):
+            span = np.arange(bin_start[b], bin_start[b + 1])
+            keep = span[alive[span]]
+            bins.append(order[keep].astype(np.int64))
+            marks.append(np.zeros(len(keep), dtype=bool))
+        bv2.bins = bins
+        bv2.marks = marks
+        state = ResumeState(
+            stage=abort,
+            clusters_done=done_clusters,
+            current_rows=current_rows,
+            last_row=int(order[cur]),
+            bv=bv2,
+        )
+        return None, state

@@ -281,34 +281,93 @@ class MeanShiftEngine:
     def accumulate_all(self, bv: BVec) -> List[Cluster]:
         from ..utils.progress import Progress
 
-        clusters: List[Cluster] = []
         prog = Progress(self.ps.n, "Accumulation")  # ClusterFactory.cpp:625
+        device = self._device_accumulate(bv, prog)
+        if device is not None:
+            prog.end()
+            self.stats.clusters_before_update = len(device)
+            return device
+        clusters: List[Cluster] = []
         native = self._native_accumulate(bv, prog)
         if native is not None:
             prog.end()
             self.stats.clusters_before_update = len(native)
             return native
         last = bv.pop()
-        while last is not None:
-            current = [last]
-            is_min = False
-            while not is_min:
-                best_row, best_pos, is_min, front, back = self._get_close(bv, last)
-                if is_min:
-                    if best_row is None:
-                        nxt = bv.pop()
-                    else:
-                        nxt = best_row
-                        bv.erase(*best_pos)
-                    clusters.append(Cluster(center_row=last, members=current))
-                    prog.step(len(current))
-                    last = nxt
-                else:
-                    current.extend(bv.remove_available(front, back))
-                    last = self._get_mean(current)
-            # loop continues with the next center (or exits when pool empty)
+        self._host_accumulate_loop(bv, prog, clusters, last, None)
         prog.end()
         self.stats.clusters_before_update = len(clusters)
+        return clusters
+
+    def _host_accumulate_loop(self, bv: BVec, prog, clusters: List[Cluster],
+                              last: Optional[int],
+                              current: Optional[List[int]],
+                              pending_mean: bool = False) -> List[Cluster]:
+        """The reference accumulate loop (ClusterFactory.cpp:552-610), entry
+        at an arbitrary point so the device path can hand over mid-run:
+        `current=None` starts a fresh cluster at `last`; `pending_mean=True`
+        re-centers on the member mean before the first window scan."""
+        while last is not None:
+            if current is None:
+                current = [last]
+            while True:
+                if pending_mean:
+                    last = self._get_mean(current)
+                    pending_mean = False
+                best_row, best_pos, is_min, front, back = self._get_close(bv, last)
+                if is_min:
+                    clusters.append(Cluster(center_row=last, members=current))
+                    prog.step(len(current))
+                    if best_row is None:
+                        last = bv.pop()
+                    else:
+                        last = best_row
+                        bv.erase(*best_pos)
+                    current = None
+                    break
+                current.extend(bv.remove_available(front, back))
+                last = self._get_mean(current)
+            # loop continues with the next center (or exits when pool empty)
+        return clusters
+
+    def _device_accumulate(self, bv: BVec, prog) -> Optional[List[Cluster]]:
+        """Device-resident accumulate (cluster/device_loop.py): the entire
+        phase as one on-device while_loop.  Eligible when the scorer is the
+        device scorer (--device tpu) or MC2_DEVICE_LOOP=1 forces it; returns
+        None to fall through to the native/host paths.  A guarded-abort
+        (decision within the dd margin of a threshold) resumes the float64
+        host loop from the exact abort point, so output is always
+        bit-faithful to the host semantics."""
+        import os
+
+        if os.environ.get("MC2_NO_DEVICE_LOOP"):
+            return None
+        forced = bool(os.environ.get("MC2_DEVICE_LOOP"))
+        if not forced and type(self.scorer).__name__ != "DeviceScorer":
+            return None
+        from .device_loop import DeviceAccumulator, DeviceLoopUnsupported
+
+        try:
+            acc = DeviceAccumulator(self.ps, self.model, self.sim)
+        except DeviceLoopUnsupported as e:
+            if forced:
+                raise
+            print(f"device accumulate unavailable ({e}); using host path")
+            return None
+        raw, state = acc.run(bv)
+        if raw is not None:
+            self.stats.windows_scored += 0  # device path does not track these
+            return [Cluster(center_row=c, members=m) for c, m in raw]
+        # guarded abort: continue on the host from the exact state
+        print(f"device accumulate: guarded abort (stage {state.stage}); "
+              f"host completes from cluster {len(state.clusters_done)}")
+        clusters = [Cluster(center_row=c, members=m)
+                    for c, m in state.clusters_done]
+        for cl in clusters:
+            prog.step(len(cl.members))
+        self._host_accumulate_loop(
+            state.bv, prog, clusters, state.last_row,
+            list(state.current_rows), pending_mean=(state.stage == 2))
         return clusters
 
     def _native_accumulate(self, bv: BVec, prog) -> Optional[List[Cluster]]:
