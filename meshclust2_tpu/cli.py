@@ -209,11 +209,31 @@ def make_scorer(ps: PointSet, model: CompiledModel, device: str):
         return host
     from .ops.device_features import DeviceScorer
 
-    dev = DeviceScorer(ps, model, exact_recheck=True)
+    # First device contact can fail transiently on the tunneled backend
+    # (observed: RuntimeError "Unable to initialize backend 'axon'" on a
+    # first attempt that succeeds on retry); retry, then fall back to the
+    # host scorer with a warning instead of dying after points are loaded.
+    dev = None
+    for attempt in range(3):
+        try:
+            dev = DeviceScorer(ps, model, exact_recheck=True)
+            import jax
+
+            jax.devices()  # force backend init inside the retry envelope
+            break
+        except Exception as e:  # noqa: BLE001 - backend init is opaque
+            print(f"warning: device backend init failed "
+                  f"(attempt {attempt + 1}/3): {e}", file=sys.stderr)
+            dev = None
+    if dev is None:
+        print("warning: falling back to the host scorer", file=sys.stderr)
+        return host
 
     class HybridScorer:
         """Route small batches to the native scorer (dispatch-latency
         bound), large batches to the device (bandwidth/FLOP bound)."""
+
+        prefers_device_loop = True  # engine routes whole phases on-device
 
         def __init__(self, small, large, threshold=int(os.environ.get(
                 "MC2_DEVICE_THRESHOLD", "16384"))):

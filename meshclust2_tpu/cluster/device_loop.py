@@ -126,6 +126,158 @@ def _index_of_vec(bounds: np.ndarray, x: np.ndarray) -> Tuple[np.ndarray, np.nda
     return low.astype(np.int32), high.astype(np.int32)
 
 
+def envelope_check(ps, model_singles_checked=True):
+    """Raise DeviceLoopUnsupported outside the exact-arithmetic envelope
+    shared by the device accumulate/update programs."""
+    maxc = int(ps.counts.max()) if ps.n else 0
+    maxmag = int(ps.mags.max()) if ps.n else 0
+    if maxmag >= 2**24:
+        raise DeviceLoopUnsupported("pseudo-magnitude >= 2^24")
+    if maxc * maxmag >= 2**31:
+        raise DeviceLoopUnsupported("dot product >= 2^31")
+    if maxc * _WC >= 2**31:
+        raise DeviceLoopUnsupported("chunk column sums >= 2^31")
+    if int(ps.lengths.max()) >= 2**31:
+        raise DeviceLoopUnsupported("length >= 2^31")
+    self_dots = np.einsum(
+        "ij,ij->i", ps.counts.astype(np.int64), ps.counts.astype(np.int64)
+    )
+    if self_dots.max() >= 2**31:
+        raise DeviceLoopUnsupported("self dot >= 2^31")
+    return self_dots
+
+
+def derive_singles_dd(pack, d, jnp, stats, a, b):
+        """Mirror of ops/pallas_stats.derive_singles in dd arithmetic.
+
+        stats: dict summin/dot/emd (int32 [W]); a/b: per-side dicts with
+        mags/selfdot (int32/int64), std dd pairs, lens (int32).  Returns a
+        list of dd singles in pack.singles order."""
+        summin, dot, emd = stats["summin"], stats["dot"], stats["emd"]
+        i64 = lambda v: v.astype(jnp.int64)
+        mag_a, mag_b = i64(a["mags"]), i64(b["mags"])
+        self_a, self_b = i64(a["selfdot"]), i64(b["selfdot"])
+        dd_i = DD.dd_from_i64
+        # exact integer building blocks
+        norm2 = self_a + self_b - 2 * i64(dot)          # < 2^33
+        dd_dot = dd_i(i64(dot))
+        # 1 / d is a power of two: scaling by it is exact in f32
+        inv_d = np.float32(1.0 / d)
+
+        out = []
+        cache = {}
+
+        def sqrt_norm2():
+            if "sq" not in cache:
+                cache["sq"] = DD.dd_sqrt(dd_i(norm2))
+            return cache["sq"]
+
+        def cov():
+            # dot - mags_a * mags_b / d, all exact until the dd conversion
+            if "cov" not in cache:
+                mm = mag_a * mag_b                      # < 2^48 exact
+                t = dd_i(mm)
+                t = (t[0] * inv_d, t[1] * inv_d)        # exact scale
+                cache["cov"] = DD.dd_sub(dd_dot, t)
+            return cache["cov"]
+
+        def var_side(side, mag, self_):
+            key = "var_" + side
+            if key not in cache:
+                mm = mag * mag
+                t = dd_i(mm)
+                t = (t[0] * inv_d, t[1] * inv_d)
+                cache[key] = DD.dd_sub(dd_i(self_), t)
+            return cache[key]
+
+        for flag in pack.singles:
+            if flag == F.FEAT_MANHATTAN:
+                out.append(dd_i(mag_a + mag_b - 2 * i64(summin)))
+            elif flag == F.FEAT_EUCLIDEAN:
+                out.append(sqrt_norm2())
+            elif flag == F.FEAT_INTERSECTION:
+                out.append(DD.dd_div(dd_i(2 * i64(summin)), dd_i(mag_a + mag_b)))
+            elif flag == F.FEAT_KULCZYNSKI2:
+                ap = dd_i(mag_a)
+                ap = (ap[0] * inv_d, ap[1] * inv_d)
+                aq = dd_i(mag_b)
+                aq = (aq[0] * inv_d, aq[1] * inv_d)
+                num = DD.dd_add(ap, aq)
+                num = (num[0] * np.float32(d), num[1] * np.float32(d))
+                den = DD.dd_mul(ap, aq)
+                den = (den[0] * np.float32(2.0), den[1] * np.float32(2.0))
+                coeff = DD.dd_div(num, den)
+                out.append(DD.dd_mul(coeff, dd_i(i64(summin))))
+            elif flag == F.FEAT_SIMRATIO:
+                out.append(DD.dd_div(dd_dot, DD.dd_add(dd_dot, sqrt_norm2())))
+            elif flag == F.FEAT_NORMALIZED_VECTORS:
+                out.append(DD.dd_div(dd_dot, DD.dd_sqrt(dd_i(self_a * self_b))))
+            elif flag == F.FEAT_PEARSON_COEFF:
+                na = var_side("a", mag_a, self_a)
+                nb_ = var_side("b", mag_b, self_b)
+                out.append(DD.dd_div(cov(), DD.dd_sqrt(DD.dd_mul(na, nb_))))
+            elif flag == F.FEAT_D2z:
+                sa, sb = a["std"], b["std"]
+                out.append(DD.dd_div(cov(), DD.dd_mul(sa, sb)))
+            elif flag == F.FEAT_EUCLIDEAN_Z:
+                sa, sb = a["std"], b["std"]
+                na = var_side("a", mag_a, self_a)
+                nb_ = var_side("b", mag_b, self_b)
+                ea = DD.dd_div(na, DD.dd_mul(sa, sa))
+                eb = DD.dd_div(nb_, DD.dd_mul(sb, sb))
+                dz = DD.dd_div(cov(), DD.dd_mul(sa, sb))
+                t = DD.dd_add(ea, eb)
+                t = DD.dd_sub(t, (dz[0] * np.float32(2.0), dz[1] * np.float32(2.0)))
+                out.append(DD.dd_sqrt(t))
+            elif flag == F.FEAT_EMD:
+                out.append(dd_i(i64(emd)))
+            elif flag == F.FEAT_LENGTHD:
+                la, lb = i64(a["lens"]), i64(b["lens"])
+                out.append(dd_i(jnp.abs(la - lb)))
+            else:  # pragma: no cover - guarded by _pack_model
+                raise AssertionError(flag)
+        return out
+
+def epilogue_dd(pack, singles_dd):
+        """(s, dist) dd from raw dd singles (model.classifier semantics)."""
+        pk = pack
+        normed = []
+        for i, v in enumerate(singles_dd):
+            mn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.mins[i]))))
+            dn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.dens[i]))))
+            z = DD.dd_div(DD.dd_sub(v, mn), dn)
+            if not pk.is_sim[i]:
+                one = DD.dd(np.float32(1.0), np.float32(0.0))
+                z = DD.dd_sub(one, z)
+            normed.append(z)
+        combos = []
+        for kind, idxs in pk.combos:
+            if kind == F.COMBO_XY:
+                c = normed[idxs[0]]
+                for j in idxs[1:]:
+                    c = DD.dd_mul(c, normed[j])
+            elif kind == F.COMBO_X2Y2:
+                c = DD.dd_mul(normed[idxs[0]], normed[idxs[0]])
+                for j in idxs[1:]:
+                    c = DD.dd_mul(c, DD.dd_mul(normed[j], normed[j]))
+            elif kind == F.COMBO_XY2:
+                i0, i1 = idxs
+                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i1]), normed[i1])
+            elif kind == F.COMBO_X2Y:
+                i0, i1 = idxs
+                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i0]), normed[i1])
+            else:  # pragma: no cover
+                raise AssertionError(kind)
+            combos.append(c)
+        w0 = DD.split_f64(np.float64(pk.weights[0]))
+        s = DD.dd(np.float32(w0[0]), np.float32(w0[1]))
+        for c, w in zip(combos, pk.weights[1:]):
+            wd = DD.split_f64(np.float64(w))
+            s = DD.dd_add(s, DD.dd_mul(c, DD.dd(np.float32(wd[0]), np.float32(wd[1]))))
+        dist = combos[0] if combos else DD.dd(np.float32(0.0), np.float32(0.0))
+        return s, dist
+
+
 class DeviceAccumulator:
     """One-dispatch accumulation for a PointSet + trained model.
 
@@ -143,26 +295,8 @@ class DeviceAccumulator:
         self.margin = float(margin)
         self.pack = _pack_model(model)
 
-        maxc = int(ps.counts.max()) if ps.n else 0
-        maxmag = int(ps.mags.max()) if ps.n else 0
-        d = ps.dim
-        # exactness envelope: int32 dot / f32-exact EMD prefix / int32
-        # chunk column sums (see pallas_stats.py for the same bounds)
-        if maxmag >= 2**24:
-            raise DeviceLoopUnsupported("pseudo-magnitude >= 2^24")
-        if maxc * maxmag >= 2**31:
-            raise DeviceLoopUnsupported("dot product >= 2^31")
-        if maxc * _WC >= 2**31:
-            raise DeviceLoopUnsupported("chunk column sums >= 2^31")
-        if int(ps.lengths.max()) >= 2**31:
-            raise DeviceLoopUnsupported("length >= 2^31")
-        self_dots = np.einsum(
-            "ij,ij->i", ps.counts.astype(np.int64), ps.counts.astype(np.int64)
-        )
-        if self_dots.max() >= 2**31:
-            raise DeviceLoopUnsupported("self dot >= 2^31")
-        self._self_dots = self_dots
-        self._d = d
+        self._self_dots = envelope_check(ps)
+        self._d = ps.dim
 
     # -- host-side preparation ------------------------------------------------
 
@@ -221,135 +355,11 @@ class DeviceAccumulator:
     # -- dd epilogue ------------------------------------------------------------
 
     def _derive_singles_dd(self, jnp, stats, a, b):
-        """Mirror of ops/pallas_stats.derive_singles in dd arithmetic.
-
-        stats: dict summin/dot/emd (int32 [W]); a/b: per-side dicts with
-        mags/selfdot (int32/int64), std dd pairs, lens (int32).  Returns a
-        list of dd singles in self.pack.singles order."""
-        d = self._d
-        summin, dot, emd = stats["summin"], stats["dot"], stats["emd"]
-        i64 = lambda v: v.astype(jnp.int64)
-        mag_a, mag_b = i64(a["mags"]), i64(b["mags"])
-        self_a, self_b = i64(a["selfdot"]), i64(b["selfdot"])
-        dd_i = DD.dd_from_i64
-        # exact integer building blocks
-        norm2 = self_a + self_b - 2 * i64(dot)          # < 2^33
-        dd_dot = dd_i(i64(dot))
-        # 1 / d is a power of two: scaling by it is exact in f32
-        inv_d = np.float32(1.0 / d)
-
-        out = []
-        cache = {}
-
-        def sqrt_norm2():
-            if "sq" not in cache:
-                cache["sq"] = DD.dd_sqrt(dd_i(norm2))
-            return cache["sq"]
-
-        def cov():
-            # dot - mags_a * mags_b / d, all exact until the dd conversion
-            if "cov" not in cache:
-                mm = mag_a * mag_b                      # < 2^48 exact
-                t = dd_i(mm)
-                t = (t[0] * inv_d, t[1] * inv_d)        # exact scale
-                cache["cov"] = DD.dd_sub(dd_dot, t)
-            return cache["cov"]
-
-        def var_side(side, mag, self_):
-            key = "var_" + side
-            if key not in cache:
-                mm = mag * mag
-                t = dd_i(mm)
-                t = (t[0] * inv_d, t[1] * inv_d)
-                cache[key] = DD.dd_sub(dd_i(self_), t)
-            return cache[key]
-
-        for flag in self.pack.singles:
-            if flag == F.FEAT_MANHATTAN:
-                out.append(dd_i(mag_a + mag_b - 2 * i64(summin)))
-            elif flag == F.FEAT_EUCLIDEAN:
-                out.append(sqrt_norm2())
-            elif flag == F.FEAT_INTERSECTION:
-                out.append(DD.dd_div(dd_i(2 * i64(summin)), dd_i(mag_a + mag_b)))
-            elif flag == F.FEAT_KULCZYNSKI2:
-                ap = dd_i(mag_a)
-                ap = (ap[0] * inv_d, ap[1] * inv_d)
-                aq = dd_i(mag_b)
-                aq = (aq[0] * inv_d, aq[1] * inv_d)
-                num = DD.dd_add(ap, aq)
-                num = (num[0] * np.float32(d), num[1] * np.float32(d))
-                den = DD.dd_mul(ap, aq)
-                den = (den[0] * np.float32(2.0), den[1] * np.float32(2.0))
-                coeff = DD.dd_div(num, den)
-                out.append(DD.dd_mul(coeff, dd_i(i64(summin))))
-            elif flag == F.FEAT_SIMRATIO:
-                out.append(DD.dd_div(dd_dot, DD.dd_add(dd_dot, sqrt_norm2())))
-            elif flag == F.FEAT_NORMALIZED_VECTORS:
-                out.append(DD.dd_div(dd_dot, DD.dd_sqrt(dd_i(self_a * self_b))))
-            elif flag == F.FEAT_PEARSON_COEFF:
-                na = var_side("a", mag_a, self_a)
-                nb_ = var_side("b", mag_b, self_b)
-                out.append(DD.dd_div(cov(), DD.dd_sqrt(DD.dd_mul(na, nb_))))
-            elif flag == F.FEAT_D2z:
-                sa, sb = a["std"], b["std"]
-                out.append(DD.dd_div(cov(), DD.dd_mul(sa, sb)))
-            elif flag == F.FEAT_EUCLIDEAN_Z:
-                sa, sb = a["std"], b["std"]
-                na = var_side("a", mag_a, self_a)
-                nb_ = var_side("b", mag_b, self_b)
-                ea = DD.dd_div(na, DD.dd_mul(sa, sa))
-                eb = DD.dd_div(nb_, DD.dd_mul(sb, sb))
-                dz = DD.dd_div(cov(), DD.dd_mul(sa, sb))
-                t = DD.dd_add(ea, eb)
-                t = DD.dd_sub(t, (dz[0] * np.float32(2.0), dz[1] * np.float32(2.0)))
-                out.append(DD.dd_sqrt(t))
-            elif flag == F.FEAT_EMD:
-                out.append(dd_i(i64(emd)))
-            elif flag == F.FEAT_LENGTHD:
-                la, lb = i64(a["lens"]), i64(b["lens"])
-                out.append(dd_i(jnp.abs(la - lb)))
-            else:  # pragma: no cover - guarded by _pack_model
-                raise AssertionError(flag)
-        return out
+        return derive_singles_dd(self.pack, self._d, jnp, stats, a, b)
 
     def _epilogue_dd(self, jnp, singles_dd):
-        """(s, dist) dd from raw dd singles (model.classifier semantics)."""
-        pk = self.pack
-        normed = []
-        for i, v in enumerate(singles_dd):
-            mn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.mins[i]))))
-            dn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.dens[i]))))
-            z = DD.dd_div(DD.dd_sub(v, mn), dn)
-            if not pk.is_sim[i]:
-                one = DD.dd(np.float32(1.0), np.float32(0.0))
-                z = DD.dd_sub(one, z)
-            normed.append(z)
-        combos = []
-        for kind, idxs in pk.combos:
-            if kind == F.COMBO_XY:
-                c = normed[idxs[0]]
-                for j in idxs[1:]:
-                    c = DD.dd_mul(c, normed[j])
-            elif kind == F.COMBO_X2Y2:
-                c = DD.dd_mul(normed[idxs[0]], normed[idxs[0]])
-                for j in idxs[1:]:
-                    c = DD.dd_mul(c, DD.dd_mul(normed[j], normed[j]))
-            elif kind == F.COMBO_XY2:
-                i0, i1 = idxs
-                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i1]), normed[i1])
-            elif kind == F.COMBO_X2Y:
-                i0, i1 = idxs
-                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i0]), normed[i1])
-            else:  # pragma: no cover
-                raise AssertionError(kind)
-            combos.append(c)
-        w0 = DD.split_f64(np.float64(pk.weights[0]))
-        s = DD.dd(np.float32(w0[0]), np.float32(w0[1]))
-        for c, w in zip(combos, pk.weights[1:]):
-            wd = DD.split_f64(np.float64(w))
-            s = DD.dd_add(s, DD.dd_mul(c, DD.dd(np.float32(wd[0]), np.float32(wd[1]))))
-        dist = combos[0] if combos else DD.dd(np.float32(0.0), np.float32(0.0))
-        return s, dist
+        return epilogue_dd(self.pack, singles_dd)
+
 
     # -- the device program ----------------------------------------------------
 

@@ -1,0 +1,323 @@
+"""Device-batched update/merge phase.
+
+The reference's update phase (ClusterFactory.cpp:287-401,635-655) is, per
+iteration, three embarrassingly-parallel batches: classifier-filter every
+center against its +/-delta neighborhood members (Trainer::filter,
+Trainer.cpp:122-141), re-center each cluster on the member closest to the
+member mean (Trainer::closest, Trainer.cpp:143-157), and score the
+(i, i+1..i+delta) center pairs for merging (Trainer::merge,
+Trainer.cpp:73-109).  Unlike the accumulate phase there is no per-center
+sequential dependence, so the TPU-native shape is NOT a device-resident
+loop: it is one large device batch per sub-phase — O(iterations) dispatches
+total (~45 for the default 15 iterations), each saturating the chip,
+versus the reference's O(centers x members) scalar loop.  The iteration
+control flow and the merge bookkeeping (an order-dependent list splice,
+ClusterFactory.cpp:382-401) stay on the host where they are O(C) numpy work.
+
+Exactness contract (same as cluster/device_loop.py): integer-exact pairwise
+stats + dd-f32 epilogue + float64 decision edges.  Each batch returns the
+GLM sum and dist as dd pairs; the HOST converts them to f64 and applies the
+edges with a margin — pairs inside the margin are re-scored by the float64
+host oracle (cheap: they are rare and the batch boundary is already on the
+host), so decisions always match the reference bit for bit.
+
+Closest-to-mean runs on device as segmented integer reductions
+(num/den rounding corners guarded per bin exactly as in device_loop), with
+per-center host fallback on any guard trip.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..model.classifier import CompiledModel
+from ..model import thresholds as TH
+from ..kmer.counting import PointSet
+from ..ops import ddf32 as DD
+from .device_loop import (
+    DEFAULT_MARGIN,
+    DeviceLoopUnsupported,
+    _pack_model,
+    derive_singles_dd,
+    envelope_check,
+    epilogue_dd,
+)
+
+_PAIR_BUCKETS = [1 << b for b in range(10, 22)]
+
+
+def _bucket(n: int) -> int:
+    for b in _PAIR_BUCKETS:
+        if n <= b:
+            return b
+    return int(2 ** int(np.ceil(np.log2(max(n, 2)))))
+
+
+class DeviceUpdater:
+    """Batched device scoring + closest-to-mean for the update/merge phase."""
+
+    def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
+                 margin: float = DEFAULT_MARGIN):
+        import jax
+        import jax.numpy as jnp
+
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        self.jax = jax
+        self.jnp = jnp
+        self.ps = ps
+        self.model = model
+        self.sim = float(sim)
+        self.margin = float(margin)
+        self.pack = _pack_model(model)
+        self_dots = envelope_check(ps)
+        self.d = ps.dim
+        self.maxc = int(ps.counts.max()) if ps.n else 0
+
+        self.counts = jnp.asarray(ps.counts)  # natural width
+        self.mags = jnp.asarray(ps.mags.astype(np.int32))
+        self.selfdot = jnp.asarray(self_dots.astype(np.int32))
+        self.lens = jnp.asarray(ps.lengths.astype(np.int32))
+        sh, sl = DD.split_f64(ps.stddevs)
+        self.std_h = jnp.asarray(sh)
+        self.std_l = jnp.asarray(sl)
+
+        self._score_jit = jax.jit(self._score_impl)
+        self._closest_jit = {}
+
+        # f64 decision edges (host-side application)
+        self.band0 = TH.nonzero_bands(model.bias)   # c_round(prob) != 0
+        self.band1 = TH.merge_band(model.bias)      # c_round(prob) == 1
+
+        self.scored_pairs = 0
+        self.rechecked_pairs = 0
+
+    # -- pair scoring -----------------------------------------------------------
+
+    def _side(self, idx):
+        return {
+            "mags": self.mags[idx],
+            "selfdot": self.selfdot[idx],
+            "std": (self.std_h[idx], self.std_l[idx]),
+            "lens": self.lens[idx],
+        }
+
+    def _score_impl(self, a_idx, b_idx):
+        jnp = self.jnp
+        A = self.counts[a_idx].astype(jnp.int32)
+        B = self.counts[b_idx].astype(jnp.int32)
+        summin = jnp.minimum(A, B).sum(axis=1, dtype=jnp.int32)
+        dot = (A * B).sum(axis=1, dtype=jnp.int32)
+        pref = jnp.cumsum((A - B).astype(jnp.float32), axis=1)
+        emd = jnp.abs(pref).astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+        stats = {"summin": summin, "dot": dot, "emd": emd}
+        singles = derive_singles_dd(self.pack, self.d, jnp, stats,
+                                    self._side(a_idx), self._side(b_idx))
+        s_dd, dist_dd = epilogue_dd(self.pack, singles)
+        return s_dd[0], s_dd[1], dist_dd[0], dist_dd[1]
+
+    MAX_PAIR_CHUNK = 1 << 17
+
+    def score_sum_dist(self, a_rows, b_rows) -> Tuple[np.ndarray, np.ndarray]:
+        """(s, dist) as float64 approximations (dd hi+lo, ~1e-13 relative)
+        for pairs (a_rows[i], b_rows[i]) with the reference's argument
+        order.  Decisions from these values are only trusted outside the
+        margin (see decide_*)."""
+        jnp = self.jnp
+        a_rows = np.ascontiguousarray(a_rows, dtype=np.int32)
+        b_rows = np.ascontiguousarray(b_rows, dtype=np.int32)
+        n = len(a_rows)
+        if n == 0:
+            return np.zeros(0), np.zeros(0)
+        if n > self.MAX_PAIR_CHUNK:
+            parts = [
+                self.score_sum_dist(a_rows[s:s + self.MAX_PAIR_CHUNK],
+                                    b_rows[s:s + self.MAX_PAIR_CHUNK])
+                for s in range(0, n, self.MAX_PAIR_CHUNK)
+            ]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+        m = _bucket(n)
+        ap = np.zeros(m, np.int32)
+        bp = np.zeros(m, np.int32)
+        ap[:n] = a_rows
+        bp[:n] = b_rows
+        sh, sl, dh, dl = self._score_jit(jnp.asarray(ap), jnp.asarray(bp))
+        self.scored_pairs += n
+        s = np.asarray(sh, np.float64)[:n] + np.asarray(sl, np.float64)[:n]
+        dist = np.asarray(dh, np.float64)[:n] + np.asarray(dl, np.float64)[:n]
+        return s, dist
+
+    def _band_decide(self, s: np.ndarray, band) -> Tuple[np.ndarray, np.ndarray]:
+        """in-band mask + uncertainty mask for s against [lo, hi)."""
+        lo, hi = band
+        inb = np.ones(len(s), dtype=bool)
+        unc = np.zeros(len(s), dtype=bool)
+        for edge, ge in ((lo, True), (hi, False)):
+            if np.isfinite(edge):
+                inb &= (s >= edge) if ge else (s < edge)
+                unc |= np.abs(s - edge) <= self.margin * max(abs(edge), 1.0)
+            elif (edge == -np.inf) != ge:
+                # hi == -inf or lo == +inf: band empty
+                inb &= False
+        return inb, unc
+
+    def keep_and_dist(self, a_rows, b_rows, host_scorer):
+        """Update-filter decisions: keep = c_round(prob) != 0
+        (engine._batched_mean_shift_update).  Margin-uncertain pairs are
+        re-scored by the float64 host oracle."""
+        s, _ = self.score_sum_dist(a_rows, b_rows)
+        inb, unc = self._band_decide(s, self.band0)
+        keep = ~inb
+        idx = np.nonzero(unc)[0]
+        if len(idx):
+            self.rechecked_pairs += len(idx)
+            prob, _ = host_scorer.score(np.asarray(a_rows)[idx],
+                                        np.asarray(b_rows)[idx])
+            keep[idx] = np.floor(prob + 0.5) != 0
+        return keep
+
+    def merge_decisions(self, a_rows, b_rows, seg, host_scorer):
+        """Merge decisions: res1 = c_round(prob) == 1 plus the per-segment
+        dist argmax inputs (engine._merge_pass).  Uncertain probabilities
+        are host-rechecked; any segment whose dist ranking is ambiguous at
+        the margin gets ALL its candidate dists replaced by host values."""
+        s, dist = self.score_sum_dist(a_rows, b_rows)
+        res1, unc = self._band_decide(s, self.band1)
+        idx = np.nonzero(unc)[0]
+        if len(idx):
+            self.rechecked_pairs += len(idx)
+            prob, d2 = host_scorer.score(np.asarray(a_rows)[idx],
+                                         np.asarray(b_rows)[idx])
+            res1[idx] = np.floor(prob + 0.5) == 1
+            dist[idx] = d2
+        # per-segment near-tie detection among res1 candidates
+        if len(seg):
+            seg = np.asarray(seg)
+            order = np.arange(len(seg))
+            amb_segs = []
+            bounds = np.searchsorted(seg, np.unique(seg))
+            uniq = np.unique(seg)
+            ends = np.searchsorted(seg, uniq, side="right")
+            for u, lo_i, hi_i in zip(uniq, bounds, ends):
+                m = res1[lo_i:hi_i]
+                if m.sum() < 2:
+                    continue
+                d = dist[lo_i:hi_i][m]
+                mx = d.max()
+                near = (np.abs(d - mx) <= self.margin * max(abs(mx), 1.0))
+                if near.sum() > 1 and not np.all(d[near] == mx):
+                    amb_segs.append((lo_i, hi_i))
+            for lo_i, hi_i in amb_segs:
+                self.rechecked_pairs += hi_i - lo_i
+                prob, d2 = host_scorer.score(np.asarray(a_rows)[lo_i:hi_i],
+                                             np.asarray(b_rows)[lo_i:hi_i])
+                res1[lo_i:hi_i] = np.floor(prob + 0.5) == 1
+                dist[lo_i:hi_i] = d2
+        return res1, dist
+
+    # -- closest to mean --------------------------------------------------------
+
+    def _build_closest(self, P: int, C: int):
+        import jax
+        jnp = self.jnp
+        D = self.d
+        maxc = np.int64(self.maxc)
+
+        def impl(rows, seg, valid):
+            cnt = jax.ops.segment_sum(valid.astype(jnp.int64), seg,
+                                      num_segments=C)
+            blk = self.counts[rows].astype(jnp.int64)
+            blk = jnp.where(valid[:, None], blk, 0)
+            num = jax.ops.segment_sum(blk, seg, num_segments=C)
+            den = jnp.maximum(cnt, 1)[:, None]
+            q = num // den
+            rem = num - q * den
+            r = ((2 * num + den) // (2 * den)).astype(jnp.int32)
+            s_floor = q.sum(axis=1)
+            # f64 rounding-corner guards (device_loop.closest_to_mean)
+            half_lhs = jnp.abs(2 * rem - den)
+            tol_half = ((q + 2) * den) >> 51
+            g1 = (half_lhs != 0) & (half_lhs <= tol_half + 1)
+            tol_f = ((q + 2) * den) >> 52
+            g2 = (rem != 0) & (rem <= tol_f + 1)
+            tol_c = ((q + maxc + 2) * den) >> 52
+            g3 = (rem != 0) & ((den - rem) <= tol_c + 1)
+            seg_unc = (g1 | g2 | g3).any(axis=1)
+
+            blk32 = self.counts[rows].astype(jnp.int32)
+            dist2 = 2 * jnp.minimum(blk32, r[seg]).sum(axis=1, dtype=jnp.int32)
+            mag = self.mags[rows].astype(jnp.int64) + s_floor[seg]
+            frac = DD.dd_div(DD.dd_from_i64(dist2.astype(jnp.int64)),
+                             DD.dd_from_i64(mag))
+            f2 = DD.dd_mul(frac, frac)
+            one = (jnp.float32(1.0), jnp.float32(0.0))
+            u = DD.dd_sub(one, f2)
+            vh = u[0] * np.float32(10000.0)
+            vl = u[1] * np.float32(10000.0)
+            inf = jnp.float32(np.inf)
+            vh = jnp.where(valid, vh, inf)
+            vl = jnp.where(valid, vl, inf)
+            mh = jax.ops.segment_min(vh, seg, num_segments=C)
+            is_m = valid & (vh == mh[seg])
+            ml = jax.ops.segment_min(jnp.where(is_m, vl, inf), seg,
+                                     num_segments=C)
+            cand = is_m & (vl == ml[seg])
+            pos = jnp.arange(P, dtype=jnp.int64)
+            first = jax.ops.segment_min(jnp.where(cand, pos, np.int64(P)),
+                                        seg, num_segments=C)
+            # near-tie guard: non-candidates within margin of the minimum,
+            # excluding exact integer-equal stats (which tie safely)
+            fd2 = jnp.where(first[seg] < P, dist2[first[seg].astype(jnp.int32)], 0)
+            fmg = jnp.where(first[seg] < P, mag[first[seg].astype(jnp.int32)], 0)
+            sig_eq = (dist2 == fd2) & (mag == fmg)
+            scale = jnp.maximum(jnp.abs(mh[seg]), jnp.float32(1.0))
+            near = valid & (jnp.abs((vh - mh[seg]) + (vl - ml[seg]))
+                            <= np.float32(self.margin) * scale)
+            tie_unc = jax.ops.segment_max((near & ~sig_eq).astype(jnp.int32),
+                                          seg, num_segments=C) > 0
+            return first, seg_unc | tie_unc
+
+        return jax.jit(impl)
+
+    MAX_CLOSEST_PAIRS = 1 << 17
+
+    def closest_batch(self, rows: np.ndarray, seg: np.ndarray, C: int):
+        """Per-segment closest-to-mean over (rows, seg) pairs in first-min
+        order; returns (best_pair_index_per_seg [C] int64 with P = no
+        member, uncertain [C] bool).  seg must be nondecreasing."""
+        jnp = self.jnp
+        P = len(rows)
+        if P == 0:
+            return np.full(C, 0, np.int64), np.zeros(C, bool)
+        if P > self.MAX_CLOSEST_PAIRS:
+            # split on a segment boundary and recurse
+            cut = int(np.searchsorted(seg, seg[self.MAX_CLOSEST_PAIRS // 2],
+                                      side="left"))
+            if cut == 0 or cut >= P:
+                cut = P // 2
+            c_mid = int(seg[cut])
+            f1, u1 = self.closest_batch(rows[:cut], seg[:cut], c_mid)
+            f2, u2 = self.closest_batch(rows[cut:], seg[cut:] - c_mid,
+                                        C - c_mid)
+            f2 = np.where(f2 < (P - cut), f2 + cut, P)
+            f1 = np.where(f1 < cut, f1, P)
+            return np.concatenate([f1, f2]), np.concatenate([u1, u2])
+        Pb = _bucket(P)
+        Cb = _bucket(max(C, 1))
+        key = (Pb, Cb)
+        if key not in self._closest_jit:
+            self._closest_jit[key] = self._build_closest(Pb, Cb)
+        rp = np.zeros(Pb, np.int32)
+        sp = np.full(Pb, Cb - 1, np.int32)
+        vp = np.zeros(Pb, bool)
+        rp[:P] = rows
+        sp[:P] = seg
+        vp[:P] = True
+        first, unc = self._closest_jit[key](jnp.asarray(rp), jnp.asarray(sp),
+                                            jnp.asarray(vp))
+        first = np.asarray(first)[:C]
+        first = np.where(first >= P, P, first)
+        return first.astype(np.int64), np.asarray(unc)[:C]

@@ -343,7 +343,10 @@ class MeanShiftEngine:
         if os.environ.get("MC2_NO_DEVICE_LOOP"):
             return None
         forced = bool(os.environ.get("MC2_DEVICE_LOOP"))
-        if not forced and type(self.scorer).__name__ != "DeviceScorer":
+        if not forced and not (
+            getattr(self.scorer, "prefers_device_loop", False)
+            or type(self.scorer).__name__ == "DeviceScorer"
+        ):
             return None
         from .device_loop import DeviceAccumulator, DeviceLoopUnsupported
 
@@ -401,6 +404,33 @@ class MeanShiftEngine:
 
     # ---------------- update/merge phase ----------------
 
+    def _get_device_updater(self):
+        """DeviceUpdater when the device path is selected and the dataset is
+        inside the exact-arithmetic envelope; else None (host scoring)."""
+        import os
+
+        if hasattr(self, "_updater_cached"):
+            return self._updater_cached
+        updater = None
+        forced = bool(os.environ.get("MC2_DEVICE_LOOP"))
+        eligible = forced or getattr(self.scorer, "prefers_device_loop", False) \
+            or type(self.scorer).__name__ == "DeviceScorer"
+        if eligible and not os.environ.get("MC2_NO_DEVICE_UPDATE_BATCH"):
+            from .device_update import DeviceUpdater
+            from .device_loop import DeviceLoopUnsupported
+
+            try:
+                updater = DeviceUpdater(self.ps, self.model, self.sim)
+            except DeviceLoopUnsupported as e:
+                print(f"device update unavailable ({e}); using host scoring")
+        self._updater_cached = updater
+        return updater
+
+    def _host_oracle(self):
+        if not hasattr(self, "_host_oracle_cached"):
+            self._host_oracle_cached = HostScorer(self.ps, self.model)
+        return self._host_oracle_cached
+
     def _batched_mean_shift_update(self, clusters: List[Cluster], delta: int) -> List[int]:
         """All centers' re-estimations of one iteration in a single scoring
         batch (the reference's `#pragma omp parallel for` over j,
@@ -435,13 +465,21 @@ class MeanShiftEngine:
         b_arr = b_arr[lp]
         seg = seg[lp]
         a_arr = cen_rows[seg]
-        if len(a_arr):
+        updater = self._get_device_updater()
+        if len(a_arr) and updater is not None:
+            # one device batch for the whole iteration's filter decisions;
+            # margin-uncertain pairs re-scored by the f64 oracle inside
+            keep = updater.keep_and_dist(a_arr, b_arr, self._host_oracle())
+            self.stats.pairs_scored += len(a_arr)
+        elif len(a_arr):
             # (pairs_scored is credited by update_phase from the memo's
             # actual-miss count, so cache hits are never double-counted)
             prob, _ = self.scorer.score(a_arr, b_arr)
             keep = c_round(prob) != 0
         else:
             keep = np.zeros(0, bool)
+        if updater is not None:
+            return self._device_closest(clusters, b_arr, seg, keep, delta, C)
         # per-center closest-to-mean over the kept members (batched native
         # path; numpy fallback).  seg is nondecreasing by construction, so
         # per-center slices come from boundaries, not full-array masks.
@@ -492,6 +530,32 @@ class MeanShiftEngine:
                 cl._ms_result = res
         return new_centers
 
+    def _device_closest(self, clusters: List[Cluster], b_arr, seg, keep,
+                        delta: int, C: int) -> List[int]:
+        """Per-center closest-to-mean through the device segmented kernel
+        (device_update.closest_batch); guard-tripped or empty segments fall
+        back to the exact host path (Trainer.cpp:143-157 semantics)."""
+        rowsk = b_arr[keep]
+        segk = seg[keep]
+        updater = self._get_device_updater()
+        first, unc = updater.closest_batch(rowsk, segk, C)
+        P = len(rowsk)
+        bounds = np.searchsorted(segk, np.arange(C + 1))
+        new_centers: List[int] = [0] * C
+        for j in range(C):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            cl = clusters[j]
+            if lo == hi:
+                new_centers[j] = int(cl.members[0]) if delta == 0 else cl.center_row
+            elif not unc[j] and first[j] < P:
+                new_centers[j] = int(rowsk[first[j]])
+            else:
+                good = rowsk[lo:hi]
+                top = self._counts_f[good].mean(axis=0)
+                d = distance_d(self.ps.counts[good], top)
+                new_centers[j] = int(good[int(np.argmin(d))])
+        return new_centers
+
     def _merge_pass(self, clusters: List[Cluster], delta: int) -> bool:
         """Classifier-directed center merging (ClusterFactory.cpp:382-401,
         Trainer.cpp:73-109).  All (i, j in i+1..i+delta) center pairs are
@@ -521,8 +585,14 @@ class MeanShiftEngine:
         num_merge = 0
         if len(a_arr):
             # order (candidate center j, center i) (Trainer.cpp:93)
-            prob, dist = self.scorer.score(a_arr, cen_rows[seg])
-            res1 = c_round(prob) == 1
+            updater = self._get_device_updater()
+            if updater is not None:
+                res1, dist = updater.merge_decisions(
+                    a_arr, cen_rows[seg], seg, self._host_oracle())
+                self.stats.pairs_scored += len(a_arr)
+            else:
+                prob, dist = self.scorer.score(a_arr, cen_rows[seg])
+                res1 = c_round(prob) == 1
             bounds = np.searchsorted(seg, np.arange(C + 1))
             for i in range(C):
                 lo, hi = bounds[i], bounds[i + 1]
@@ -558,8 +628,12 @@ class MeanShiftEngine:
             prog.end()
             return
         saved_scorer = self.scorer
-        memo = _ScoreMemo(saved_scorer, self.ps.n)
-        self.scorer = memo
+        # with the device updater, re-scoring is cheaper than the memo's
+        # sorted-store maintenance (and decisions bypass self.scorer anyway)
+        memo = (None if self._get_device_updater() is not None
+                else _ScoreMemo(saved_scorer, self.ps.n))
+        if memo is not None:
+            self.scorer = memo
         try:
             for it in range(start_it, self.iterations):
                 if it >= 3 and len(clusters) == num_clusters[it - 3]:
@@ -581,7 +655,8 @@ class MeanShiftEngine:
         finally:
             # pairs_scored = pairs that actually reached the wrapped scorer
             # (same semantics as the accumulate phase's cache-miss counting)
-            self.stats.pairs_scored += memo.scored
+            if memo is not None:
+                self.stats.pairs_scored += memo.scored
             self.scorer = saved_scorer
 
     def _native_update(self, clusters: List[Cluster], prog, checkpoint,
