@@ -69,6 +69,14 @@ DD_DERIVABLE = frozenset({
 # of headroom while tripping ~never on real data.
 DEFAULT_MARGIN = float(os.environ.get("MC2_DD_MARGIN", "1e-8"))
 
+# tie margin for comparing two values produced by the SAME dd pipeline
+# (dist argmax, distance_d argmin): the identity-vs-direct formula
+# difference largely cancels between the two sides, so only the ~1e-13
+# relative dd error matters; 1e-10 keeps 3 orders of headroom.  (The first
+# real-chip med2000 run aborted at stage 2 because genuine ~1e-8-relative
+# distance_d gaps fell inside the old shared 1e-8 margin.)
+DEFAULT_TIE_MARGIN = float(os.environ.get("MC2_DD_TIE_MARGIN", "1e-10"))
+
 _WC = 2048  # scan chunk rows (static shape inside the loop)
 
 
@@ -288,11 +296,17 @@ class DeviceAccumulator:
     """
 
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
-                 margin: float = DEFAULT_MARGIN):
+                 margin: float = DEFAULT_MARGIN,
+                 tie_margin: float = DEFAULT_TIE_MARGIN):
         self.ps = ps
         self.model = model
         self.sim = float(sim)
         self.margin = float(margin)
+        # ties compare values from the same dd pipeline: only dd error
+        # applies, but a forced-huge decision margin (tests, MC2_DD_MARGIN)
+        # must drag the tie margin with it
+        self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
+            if margin > DEFAULT_MARGIN else float(tie_margin)
         self.pack = _pack_model(model)
 
         self._self_dots = envelope_check(ps)
@@ -373,6 +387,7 @@ class DeviceAccumulator:
         D = dev["counts"].shape[1]
         WC = _WC
         margin = np.float32(self.margin)
+        tie_margin = np.float32(self.tie_margin)
         edge_dd = DD.dd(*(np.float32(x) for x in
                           DD.split_f64(np.float64(self.pack.pos_edge))))
         edge_scale = np.float32(max(abs(self.pack.pos_edge), 1.0))
@@ -494,24 +509,25 @@ class DeviceAccumulator:
                 vexact_eq = (vh == vh[first_i]) & (vl == vl[first_i])
                 scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
                 near = pass_m & (jnp.abs((vh - vh[first_i]) + (vl - vl[first_i]))
-                                 <= margin * scale)
+                                 <= tie_margin * scale)
                 unc_tie = (near & ~(vexact_eq & sig_eq_best)).any() & chunk_any
 
-                # merge chunk best into carry best
-                bdh, bdl = DD.dd_sub((vh[first_i], vl[first_i]), (sc.bh, sc.bl))
-                better = chunk_any & ((bdh > 0) | ((bdh == 0) & (bdl > 0)))
-                equal = chunk_any & (bdh == 0) & (bdl == 0)
+                # merge chunk best into carry best.  Lexicographic dd
+                # compares (valid for quick_two_sum-normalized pairs) — NOT
+                # dd_sub, whose two_sum NaNs out against the inf carry init.
+                carry_valid = sc.bpos != NONE
+                lgt = (vh[first_i] > sc.bh) | \
+                    ((vh[first_i] == sc.bh) & (vl[first_i] > sc.bl))
+                leq = (vh[first_i] == sc.bh) & (vl[first_i] == sc.bl)
+                better = chunk_any & (~carry_valid | lgt)
                 sig_eq_carry = jnp.bool_(True)
                 for bx, cx in zip(bsig, sc.bsig):
                     sig_eq_carry &= (bx == cx)
-                cross_near = chunk_any & (sc.bpos != NONE) & (
-                    jnp.abs(bdh + bdl) <= margin *
+                dapx = (vh[first_i] + vl[first_i]) - (sc.bh + sc.bl)
+                cross_near = chunk_any & carry_valid & (
+                    jnp.abs(dapx) <= tie_margin *
                     jnp.maximum(jnp.abs(sc.bh), jnp.float32(1.0)))
-                unc_cross = cross_near & ~((bdh == 0) & (bdl == 0) & sig_eq_carry) \
-                    & ~better & ~(bdh + bdl < -2 * margin)
-                # 'better' replaces; exact-equal keeps the earlier chunk; a
-                # strict-but-near improvement is itself uncertain
-                unc_near_improve = better & cross_near
+                unc_cross = cross_near & ~(leq & sig_eq_carry)
                 nbh = jnp.where(better, vh[first_i], sc.bh)
                 nbl = jnp.where(better, vl[first_i], sc.bl)
                 npos = jnp.where(better, start_c + first_i.astype(jnp.int32), sc.bpos)
@@ -528,7 +544,7 @@ class DeviceAccumulator:
                     j=sc.j + 1,
                     bh=nbh, bl=nbl, bpos=npos, bsig=nsig,
                     any_pos=sc.any_pos | pos.any(),
-                    uncert=sc.uncert | unc.any() | unc_tie | unc_cross | unc_near_improve,
+                    uncert=sc.uncert | unc.any() | unc_tie | unc_cross,
                     msum=sc.msum + csum.astype(jnp.int64),
                     mcnt=sc.mcnt + pos.sum(dtype=jnp.int32),
                     pmask=pmask,
@@ -553,13 +569,17 @@ class DeviceAccumulator:
             r = ((2 * num + den) // (2 * den)).astype(jnp.int32)  # round-half-up
             s_floor = jnp.sum(q)
             # guards on the two f64 corners (see module docstring)
+            # integer comparison against the floored product is exact:
+            # rem <= t (t real) <=> rem <= floor(t) for integer rem, so no
+            # +1 slop — the thresholds are << 1 for any realistic cluster
+            # (a trip needs (q + 2) * den on the order of 2^51)
             half_lhs = jnp.abs(2 * rem - den)
             tol_half = ((q + 2) * den) >> 51
-            g1 = (half_lhs != 0) & (half_lhs <= tol_half + 1)
+            g1 = (half_lhs != 0) & (half_lhs <= tol_half)
             tol_f = ((q + 2) * den) >> 52
-            g2 = (rem != 0) & (rem <= tol_f + 1)
+            g2 = (rem != 0) & (rem <= tol_f)
             tol_c = ((q + maxc + 2) * den) >> 52
-            g3 = (rem != 0) & ((den - rem) <= tol_c + 1)
+            g3 = (rem != 0) & ((den - rem) <= tol_c)
             unc_bins = (g1 | g2 | g3).any()
 
             neg_inf = jnp.float32(-np.inf)
@@ -610,19 +630,23 @@ class DeviceAccumulator:
                 # near-tie guards within the chunk (exact int-equal is safe)
                 sig_eq = memb & (dist2 == csig[0]) & (mag == csig[1])
                 scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
-                near = memb & (jnp.abs((vh - mh) + (vl - ml)) <= margin * scale)
+                near = memb & (jnp.abs((vh - mh) + (vl - ml)) <= tie_margin * scale)
                 unc_tie = (near & ~sig_eq).any() & chunk_any
 
-                dh, dl = DD.dd_sub((mh, ml), (mc.vh, mc.vl))
-                better = chunk_any & ((dh < 0) | ((dh == 0) & (dl < 0)))
-                equal = chunk_any & (dh == 0) & (dl == 0)
-                better_key = equal & (ckey < mc.bkey)
+                # lexicographic dd compare against the carry (see the
+                # scan_window note: dd_sub NaNs against the inf init)
+                carry_valid = jnp.isfinite(mc.vh)
+                llt = (mh < mc.vh) | ((mh == mc.vh) & (ml < mc.vl))
+                leq = (mh == mc.vh) & (ml == mc.vl)
+                better = chunk_any & (~carry_valid | llt)
+                better_key = chunk_any & carry_valid & leq & (ckey < mc.bkey)
                 take = better | better_key
                 sig_eq_carry = (csig[0] == mc.bsig[0]) & (csig[1] == mc.bsig[1])
-                cross_near = chunk_any & jnp.isfinite(mc.vh) & (
-                    jnp.abs(dh + dl) <= margin *
+                dapx = (mh + ml) - (mc.vh + mc.vl)
+                cross_near = chunk_any & carry_valid & (
+                    jnp.abs(dapx) <= tie_margin *
                     jnp.maximum(jnp.abs(mc.vh), jnp.float32(1.0)))
-                unc_cross = cross_near & ~(equal & sig_eq_carry)
+                unc_cross = cross_near & ~(leq & sig_eq_carry)
 
                 return MC(
                     j=mc.j + 1,
@@ -779,10 +803,23 @@ class DeviceAccumulator:
 
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
+        import time
+
+        profile = bool(os.environ.get("MC2_DEVICE_PROF"))
+        t0 = time.time()
         host, dev = self._prepare(bv)
+        t1 = time.time()
         prog = self._build_program(host, dev)
+        compiled = prog.lower().compile()
+        t2 = time.time()
+        res = compiled()
         abort, cid, cur, alive, assign, astep, centers, iters = (
-            np.asarray(x) for x in prog())
+            np.asarray(x) for x in res)
+        t3 = time.time()
+        if profile:
+            print(f"device accumulate: prepare {t1 - t0:.2f}s, "
+                  f"compile {t2 - t1:.2f}s, execute {t3 - t2:.2f}s, "
+                  f"{int(iters)} steps")
         n = host["n"]
         order = host["order"]
         n_it = int(iters)

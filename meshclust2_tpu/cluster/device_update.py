@@ -38,6 +38,7 @@ from ..kmer.counting import PointSet
 from ..ops import ddf32 as DD
 from .device_loop import (
     DEFAULT_MARGIN,
+    DEFAULT_TIE_MARGIN,
     DeviceLoopUnsupported,
     _pack_model,
     derive_singles_dd,
@@ -59,7 +60,8 @@ class DeviceUpdater:
     """Batched device scoring + closest-to-mean for the update/merge phase."""
 
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
-                 margin: float = DEFAULT_MARGIN):
+                 margin: float = DEFAULT_MARGIN,
+                 tie_margin: float = DEFAULT_TIE_MARGIN):
         import jax
         import jax.numpy as jnp
 
@@ -71,6 +73,8 @@ class DeviceUpdater:
         self.model = model
         self.sim = float(sim)
         self.margin = float(margin)
+        self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
+            if margin > DEFAULT_MARGIN else float(tie_margin)
         self.pack = _pack_model(model)
         self_dots = envelope_check(ps)
         self.d = ps.dim
@@ -207,7 +211,7 @@ class DeviceUpdater:
                     continue
                 d = dist[lo_i:hi_i][m]
                 mx = d.max()
-                near = (np.abs(d - mx) <= self.margin * max(abs(mx), 1.0))
+                near = (np.abs(d - mx) <= self.tie_margin * max(abs(mx), 1.0))
                 if near.sum() > 1 and not np.all(d[near] == mx):
                     amb_segs.append((lo_i, hi_i))
             for lo_i, hi_i in amb_segs:
@@ -238,13 +242,17 @@ class DeviceUpdater:
             r = ((2 * num + den) // (2 * den)).astype(jnp.int32)
             s_floor = q.sum(axis=1)
             # f64 rounding-corner guards (device_loop.closest_to_mean)
+            # integer comparison against the floored product is exact:
+            # rem <= t (t real) <=> rem <= floor(t) for integer rem, so no
+            # +1 slop — the thresholds are << 1 for any realistic cluster
+            # (a trip needs (q + 2) * den on the order of 2^51)
             half_lhs = jnp.abs(2 * rem - den)
             tol_half = ((q + 2) * den) >> 51
-            g1 = (half_lhs != 0) & (half_lhs <= tol_half + 1)
+            g1 = (half_lhs != 0) & (half_lhs <= tol_half)
             tol_f = ((q + 2) * den) >> 52
-            g2 = (rem != 0) & (rem <= tol_f + 1)
+            g2 = (rem != 0) & (rem <= tol_f)
             tol_c = ((q + maxc + 2) * den) >> 52
-            g3 = (rem != 0) & ((den - rem) <= tol_c + 1)
+            g3 = (rem != 0) & ((den - rem) <= tol_c)
             seg_unc = (g1 | g2 | g3).any(axis=1)
 
             blk32 = self.counts[rows].astype(jnp.int32)
@@ -275,7 +283,7 @@ class DeviceUpdater:
             sig_eq = (dist2 == fd2) & (mag == fmg)
             scale = jnp.maximum(jnp.abs(mh[seg]), jnp.float32(1.0))
             near = valid & (jnp.abs((vh - mh[seg]) + (vl - ml[seg]))
-                            <= np.float32(self.margin) * scale)
+                            <= np.float32(self.tie_margin) * scale)
             tie_unc = jax.ops.segment_max((near & ~sig_eq).astype(jnp.int32),
                                           seg, num_segments=C) > 0
             return first, seg_unc | tie_unc

@@ -361,16 +361,31 @@ class MeanShiftEngine:
         if raw is not None:
             self.stats.windows_scored += 0  # device path does not track these
             return [Cluster(center_row=c, members=m) for c, m in raw]
-        # guarded abort: continue on the host from the exact state
+        if os.environ.get("MC2_DEVICE_STRICT"):
+            raise RuntimeError(
+                f"device accumulate aborted (stage {state.stage}) under "
+                f"MC2_DEVICE_STRICT after {len(state.clusters_done)} clusters")
+        # guarded abort: continue on the host from the exact state.  The
+        # completion runs on the fast native/host scorer — the device scorer
+        # would pay per-window dispatch latency for the remaining clusters,
+        # exactly what the device loop exists to avoid.
         print(f"device accumulate: guarded abort (stage {state.stage}); "
               f"host completes from cluster {len(state.clusters_done)}")
         clusters = [Cluster(center_row=c, members=m)
                     for c, m in state.clusters_done]
         for cl in clusters:
             prog.step(len(cl.members))
-        self._host_accumulate_loop(
-            state.bv, prog, clusters, state.last_row,
-            list(state.current_rows), pending_mean=(state.stage == 2))
+        saved_scorer = self.scorer
+        from ..native import NativeScorer
+
+        fast = NativeScorer.create(self.ps, self.model)
+        self.scorer = fast or self._host_oracle()
+        try:
+            self._host_accumulate_loop(
+                state.bv, prog, clusters, state.last_row,
+                list(state.current_rows), pending_mean=(state.stage == 2))
+        finally:
+            self.scorer = saved_scorer
         return clusters
 
     def _native_accumulate(self, bv: BVec, prog) -> Optional[List[Cluster]]:

@@ -50,7 +50,7 @@ def test_device_loop_small_parity(fixtures_dir, tmp_path):
     host = _run_cli(fixtures_dir, tmp_path, "host.clstr",
                     env={"MC2_NO_DEVICE_LOOP": "1"})
     dev = _run_cli(fixtures_dir, tmp_path, "dev.clstr",
-                   env={"MC2_DEVICE_LOOP": "1"})
+                   env={"MC2_DEVICE_LOOP": "1", "MC2_DEVICE_STRICT": "1"})
     _exact(host, dev)
 
 
@@ -82,6 +82,6 @@ def test_device_loop_med2000_parity(fixtures_dir, tmp_path):
                     env={"MC2_NO_DEVICE_LOOP": "1"},
                     fasta="med2000.fasta", weights="med2000_weights.txt")
     dev = _run_cli(fixtures_dir, tmp_path, "dev.clstr",
-                   env={"MC2_DEVICE_LOOP": "1"},
+                   env={"MC2_DEVICE_LOOP": "1", "MC2_DEVICE_STRICT": "1"},
                    fasta="med2000.fasta", weights="med2000_weights.txt")
     _exact(host, dev)
