@@ -186,6 +186,48 @@ def sort_points(ps: PointSet) -> PointSet:
     return ps.subset(p1[p2])
 
 
+_DEVICE_BACKEND_OK: Optional[bool] = None
+
+
+def ensure_device_backend() -> bool:
+    """First device contact on the tunneled backend can fail transiently
+    (RuntimeError "Unable to initialize backend 'axon'") or HANG
+    indefinitely (observed: a CLI blocked in backend init with ~0 CPU).
+    Probe init in a subprocess with a hard timeout, then initialize
+    in-process.  Called early in main() for --device tpu so the ~20 s
+    backend bring-up lands before the read_in_points clock stamp, matching
+    how the reference binary pays no such cost."""
+    global _DEVICE_BACKEND_OK
+    if _DEVICE_BACKEND_OK is not None:
+        return _DEVICE_BACKEND_OK
+    import subprocess
+
+    probe_timeout = int(os.environ.get("MC2_DEVICE_PROBE_TIMEOUT", "120"))
+    ok = True
+    if probe_timeout > 0:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=probe_timeout, check=True, capture_output=True,
+                cwd=os.getcwd(),
+            )
+        except Exception as e:  # timeout, nonzero exit, spawn failure
+            print(f"warning: device backend probe failed ({e})",
+                  file=sys.stderr)
+            ok = False
+    if ok:
+        try:
+            import jax
+
+            jax.devices()
+        except Exception as e:
+            print(f"warning: device backend init failed ({e})",
+                  file=sys.stderr)
+            ok = False
+    _DEVICE_BACKEND_OK = ok
+    return ok
+
+
 def make_scorer(ps: PointSet, model: CompiledModel, device: str):
     """Scorer selection.
 
@@ -209,10 +251,9 @@ def make_scorer(ps: PointSet, model: CompiledModel, device: str):
         return host
     from .ops.device_features import DeviceScorer
 
-    # First device contact can fail transiently on the tunneled backend
-    # (observed: RuntimeError "Unable to initialize backend 'axon'" on a
-    # first attempt that succeeds on retry); retry, then fall back to the
-    # host scorer with a warning instead of dying after points are loaded.
+    if not ensure_device_backend():
+        print("warning: falling back to the host scorer", file=sys.stderr)
+        return host
     dev = None
     for attempt in range(3):
         try:
@@ -252,6 +293,10 @@ def make_scorer(ps: PointSet, model: CompiledModel, device: str):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.device == "tpu":
+        # bring the backend up before any clock stamp (slow tunneled init;
+        # falls back to host scoring later if it cannot come up)
+        ensure_device_backend()
     clock = Clock()
     if args.threads > 0:
         # the reference caps OpenMP parallelism via omp_set_num_threads
