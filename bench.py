@@ -9,8 +9,17 @@ Methodology (BASELINE.md): seqs/sec = N / (t_done - t_read_in_points), i.e.
 training excluded (both sides load a shared weights.txt via --recover), FASTA
 parse + k-mer counting excluded, clustering included.  The reference is built
 from /root/reference sources (copied to /tmp, patched for a missing
-<limits> include) and run with all cores; ours runs the device scorer on the
-default JAX platform (the real TPU chip under the driver).
+<limits> include) and run with all cores.
+
+Ours is measured on BOTH paths and the device is part of the metric name:
+  - host: the native AVX-512 scorer (CPU);
+  - tpu:  the device-resident accumulate loop + device-batched update on the
+    real chip (cluster/device_loop.py / device_update.py), run in a
+    subprocess with timeout+retry because this machine's tunneled TPU link
+    wedges intermittently; backend bring-up happens before the
+    read_in_points stamp so the measured window is clustering only.
+The headline metric is the TPU path when a non-CPU device is reachable and
+the run succeeds (BENCH_DEVICE overrides: host / tpu / both).
 """
 from __future__ import annotations
 
@@ -147,20 +156,36 @@ def run_reference(exe: str, fasta: str, weights: str, retries: int = 5) -> float
     return None
 
 
-def run_ours(fasta: str, weights: str, device: str) -> float:
-    import io
-    from contextlib import redirect_stdout
-
-    from meshclust2_tpu.cli import main
-
-    out = os.path.join(BENCH_DIR, f"tpu_out_{device}_{N_SEQS}.clstr")
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        rc = main(["--recover", weights, "--output", out, "--device", device, fasta])
-    assert rc == 0
-    sys.stderr.write(buf.getvalue()[-2000:] + "\n")
-    ts = parse_timestamps(buf.getvalue())
-    return N_SEQS / (ts["done"] - ts["read_in_points"])
+def run_ours(fasta: str, weights: str, device: str,
+             timeout: int = 3600, retries: int = 1) -> float | None:
+    """One clustering run in a subprocess (a wedged TPU tunnel must not hang
+    the bench).  Returns seqs/s or None."""
+    out = os.path.join(BENCH_DIR, f"ours_out_{device}_{N_SEQS}.clstr")
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    env["MC2_DEVICE_PROBE_TIMEOUT"] = env.get("MC2_DEVICE_PROBE_TIMEOUT", "0")
+    for attempt in range(retries + 1):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-m", "meshclust2_tpu.cli",
+                 "--recover", weights, "--output", out,
+                 "--device", device, fasta],
+                capture_output=True, text=True, timeout=timeout,
+                cwd="/root/repo", env=env,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"ours ({device}) attempt {attempt}: timed out after "
+                f"{timeout}s (tunnel wedge?); retrying" if attempt < retries
+                else f"ours ({device}): timed out; giving up")
+            continue
+        sys.stderr.write((p.stdout or "")[-1500:] + "\n")
+        ts = parse_timestamps(p.stdout or "")
+        if p.returncode == 0 and "done" in ts and "read_in_points" in ts:
+            return N_SEQS / (ts["done"] - ts["read_in_points"])
+        log(f"ours ({device}) attempt {attempt}: rc={p.returncode} "
+            f"{(p.stderr or '')[-400:]}")
+    return None
 
 
 def main() -> int:
@@ -170,11 +195,33 @@ def main() -> int:
     ensure_dataset(fasta)
     ensure_weights(fasta, weights)
 
-    device = os.environ.get("BENCH_DEVICE", "host")
+    mode = os.environ.get("BENCH_DEVICE", "both")
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    t0 = time.time()
-    ours = max(run_ours(fasta, weights, device) for _ in range(repeats))
-    log(f"ours ({device}): {ours:.1f} seqs/s (wall {time.time()-t0:.0f}s, best of {repeats})")
+
+    def measure(device, timeout):
+        t0 = time.time()
+        vals = [run_ours(fasta, weights, device, timeout=timeout, retries=0)
+                for _ in range(repeats)]
+        vals = [v for v in vals if v]
+        best = max(vals) if vals else None
+        log(f"ours ({device}): {best and round(best, 1)} seqs/s "
+            f"(wall {time.time()-t0:.0f}s, best of {repeats})")
+        return best
+
+    results = {}
+    if mode in ("host", "both"):
+        results["host"] = measure("host", timeout=3600)
+    if mode in ("tpu", "both"):
+        # generous per-run timeout: first run compiles the device program
+        results["tpu"] = measure("tpu", timeout=1500)
+    # headline: the TPU path when it produced a number, else host
+    if results.get("tpu"):
+        device, ours = "tpu", results["tpu"]
+    else:
+        device, ours = "host", results.get("host")
+    if ours is None:
+        log("no successful runs")
+        return 1
 
     ref_rate = None
     exe = ensure_reference_binary()
@@ -186,11 +233,14 @@ def main() -> int:
         log(f"reference: {ref_rate and round(ref_rate,1)} seqs/s (wall {time.time()-t0:.0f}s, best of {repeats})")
 
     vs = (ours / ref_rate) if ref_rate else None
+    extra = {f"{d}_seqs_per_sec": round(v, 2)
+             for d, v in results.items() if v and d != device}
     print(json.dumps({
-        "metric": f"seqs_per_sec_cluster_{N_SEQS}_id0.9_recover",
+        "metric": f"seqs_per_sec_cluster_{N_SEQS}_id0.9_recover_{device}",
         "value": round(ours, 2),
         "unit": "seqs/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        **extra,
     }))
     return 0
 

@@ -1,0 +1,127 @@
+"""Opt-in real-TPU validation: MC2_REAL_TPU=1 python -m pytest tests/test_real_tpu.py
+
+The default suite pins jax to the CPU backend (conftest), so these tests
+drive the real chip from SUBPROCESSES with their own environment.  They
+check, on actual hardware:
+
+  1. the Pallas fused-stats kernel is bit-exact vs the int64 oracle;
+  2. DeviceScorer probabilities/dists match the float64 host oracle;
+  3. an end-to-end `--device tpu` run reproduces the host CLSTR exactly
+     (device-resident accumulate + device-batched update, strict mode: a
+     guarded abort fails the test rather than resuming silently).
+
+Infra failures (tunnel wedge/timeouts — the shared tunnel is flaky) SKIP
+with a message; real mismatches FAIL.
+"""
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MC2_REAL_TPU"),
+    reason="real-TPU job is opt-in: MC2_REAL_TPU=1",
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(code: str, timeout: int = 900) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout, env=env,
+            capture_output=True, text=True, cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("real-TPU subprocess timed out (tunnel wedge?)")
+
+
+def _check(p: subprocess.CompletedProcess):
+    if p.returncode != 0:
+        tail = (p.stderr or "")[-2000:]
+        if "Unable to initialize backend" in tail or "DEADLINE" in tail:
+            pytest.skip(f"TPU backend unavailable: {tail[-300:]}")
+        pytest.fail(f"real-TPU subprocess failed:\n{tail}")
+    return p.stdout
+
+
+def test_pallas_stats_exact_on_chip():
+    out = _check(_run_on_tpu(textwrap.dedent("""
+        import numpy as np
+        import jax
+        assert jax.devices()[0].platform != "cpu"
+        from meshclust2_tpu.ops.pallas_stats import center_block_stats
+        rng = np.random.default_rng(5)
+        for d in (1024, 4096):
+            h = rng.integers(0, 255, (2048, d)).astype(np.uint8)
+            c = rng.integers(0, 255, d).astype(np.uint8)
+            got = center_block_stats(h, c, interpret=False)
+            h64 = h.astype(np.int64); c64 = c.astype(np.int64)
+            want = np.stack([
+                np.minimum(h64, c64).sum(1),
+                (h64 * c64).sum(1),
+                np.abs(np.cumsum(h64 - c64, axis=1)).sum(1),
+            ], axis=1)
+            assert np.array_equal(got, want.astype(np.int64)), f"d={d}"
+        print("PALLAS_OK")
+    """)))
+    assert "PALLAS_OK" in out
+
+
+def test_device_scorer_matches_host_on_chip():
+    out = _check(_run_on_tpu(textwrap.dedent("""
+        import numpy as np
+        import jax
+        assert jax.devices()[0].platform != "cpu"
+        import meshclust2_tpu.cli as cli
+        from meshclust2_tpu.model.weights import load_weights
+        from meshclust2_tpu.model.classifier import CompiledModel
+        from meshclust2_tpu.cluster.engine import HostScorer
+        from meshclust2_tpu.ops.device_features import DeviceScorer
+        pred = load_weights("tests/fixtures/med2000_weights.txt")
+        model = CompiledModel(pred.classifier, bias=0.0)
+        ps, _ = cli.load_sorted_points(["tests/fixtures/med2000.fasta"], [],
+                                       pred.k, pred.datatype, False,
+                                       keep_seqs_train=False)
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, ps.n, 3000); b = rng.integers(0, ps.n, 3000)
+        hp, hd = HostScorer(ps, model).score(a, b)
+        dp, dd = DeviceScorer(ps, model).score(a, b)
+        import numpy as np
+        # decisions must match exactly; values to recheck tolerance
+        assert np.array_equal(np.floor(hp + .5), np.floor(dp + .5))
+        assert np.allclose(hd, dd, rtol=1e-5)
+        print("SCORER_OK")
+    """)))
+    assert "SCORER_OK" in out
+
+
+def test_end_to_end_tpu_clstr_parity():
+    out = _check(_run_on_tpu(textwrap.dedent("""
+        import os, subprocess, sys
+        env = dict(os.environ)
+        env["MC2_DEVICE_STRICT"] = "1"
+        env["MC2_DEVICE_PROBE_TIMEOUT"] = "0"
+        def run(device, out):
+            r = subprocess.run([sys.executable, "-m", "meshclust2_tpu.cli",
+                "--id", "0.9", "--kmer", "5",
+                "--recover", "tests/fixtures/small_ref_weights.txt",
+                "--output", out, "--device", device,
+                "tests/fixtures/small.fasta"], env=env, timeout=800,
+                capture_output=True, text=True)
+            assert r.returncode == 0, r.stderr[-1500:]
+        run("host", "/tmp/rt_small_host.clstr")
+        run("tpu", "/tmp/rt_small_tpu.clstr")
+        # device output must be byte-identical to the host path (which is
+        # itself reference-parity-tested in the main suite)
+        assert open("/tmp/rt_small_host.clstr").read() == \\
+            open("/tmp/rt_small_tpu.clstr").read()
+        print("E2E_OK")
+    """), timeout=1000))
+    assert "E2E_OK" in out
