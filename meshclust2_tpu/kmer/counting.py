@@ -12,6 +12,7 @@ work.  The hash is big-endian base 4: index = sum_i codes[i] * 4^(k-1-i)
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -145,7 +146,21 @@ def build_point_set(
     headers = []
     from ..native import count_kmers_batch, natural_count_dtype
 
-    native = count_kmers_batch(records, k, dtype_max) if n else None
+    native = None
+    if n and os.environ.get("MC2_DEVICE_COUNT"):
+        # sharded device histogram build (parallel/mesh.py): byte-equal to
+        # the native counter incl. saturation and segment masks; opted in
+        # for --device tpu runs / multi-chip deployments
+        from ..parallel.mesh import device_build_counts
+
+        dev_counts, dev_ones = device_build_counts(records, k, dtype_max)
+        natural = natural_count_dtype(dtype_max)
+        native = (
+            np.minimum(dev_counts, np.iinfo(natural).max).astype(natural),
+            dev_ones.astype(np.uint64),
+        )
+    if native is None:
+        native = count_kmers_batch(records, k, dtype_max) if n else None
     if native is not None:
         counts, one_mers = native
     else:

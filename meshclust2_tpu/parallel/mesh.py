@@ -168,31 +168,109 @@ def sharded_glm_solve(mesh, axis: str = "data"):
     return jax.jit(fn)
 
 
-def sharded_histogram_build(mesh, k: int, axis: str = "data"):
-    """Jitted sharded k-mer histogram builder: a [n_loc, L] batch of padded
-    code sequences (-1 padding) -> [n_loc, 4^k] pseudocounted histograms,
-    rows staying device-local (DP over sequences, SURVEY §2.8 P2)."""
+def sharded_histogram_build(mesh, k: int, dtype_max: int, axis: str = "data"):
+    """Jitted sharded k-mer histogram builder (SURVEY §2.8 P2, the reference
+    pipeline Loader.cpp:137-179 + KmerHashTable.cpp:133-256 re-expressed as
+    device scatter-adds).
+
+    Input: a [n_loc, L] batch of code sequences, int8, built by
+    pack_segment_codes — each row is the record's SEGMENTS flattened with a
+    single -1 separator between adjacent segments and -1 padding.  Segment
+    semantics therefore fall out of window validity: a k-mer window is
+    counted iff all k codes are >= 0, which is exactly "fully inside one
+    segment" including the reference's 1 Mbp splits (the rolling hash
+    restarts per segment, KmerHashTable.cpp:133-160).
+
+    Output (rows device-local, DP over sequences):
+      counts   [n_loc, 4^k] int32: min(1 + count, dtype_max) — the
+               pseudocount-1 initializer (Loader.cpp:141) and saturating
+               increment (wholesaleIncrementNoOverflow,
+               KmerHashTable.cpp:235-256);
+      one_mers [n_loc, 4]   int32: 1 + per-base counts over segment
+               positions, unsaturated (Loader.cpp:144,150).
+    """
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     d = 4**k
+    sat = np.int64(min(dtype_max, 2**31 - 1))
 
     def one_seq(codes):
         L = codes.shape[0]
         n = L - k + 1
         valid = jnp.ones(n, dtype=bool)
         idx = jnp.zeros(n, dtype=jnp.int32)
+        # k is a small static constant: these are static slices, not gathers
         for j in range(k):
-            c = jax.lax.dynamic_slice(codes, (j,), (n,))
+            c = codes[j:j + n].astype(jnp.int32)
             valid &= c >= 0
             idx = idx * 4 + jnp.maximum(c, 0)
-        hist = jnp.zeros(d, dtype=jnp.int32).at[idx].add(valid.astype(jnp.int32))
-        return hist + 1
+        idx = jnp.where(valid, idx, d)  # invalid windows dropped by scatter
+        hist = jnp.zeros(d, dtype=jnp.int32).at[idx].add(
+            jnp.int32(1), mode="drop")
+        counts = jnp.minimum(hist + 1, jnp.int32(sat))
+        ones = jnp.zeros(4, dtype=jnp.int32).at[
+            jnp.where(codes >= 0, codes.astype(jnp.int32), 4)
+        ].add(jnp.int32(1), mode="drop") + 1
+        return counts, ones
 
-    @partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    @partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=(P(axis), P(axis)))
     def fn(codes_local):
         return jax.vmap(one_seq)(codes_local)
 
     return jax.jit(fn)
+
+
+def pack_segment_codes(records, pad_to: Optional[int] = None) -> np.ndarray:
+    """[n, L] int8 batch for sharded_histogram_build: per record, segment
+    slices joined by one -1 separator, right-padded with -1."""
+    rows = []
+    for rec in records:
+        chunks = []
+        for s, e in rec.segments:
+            if chunks:
+                chunks.append(np.array([-1], dtype=np.int8))
+            chunks.append(rec.codes[s:e + 1].astype(np.int8))
+        rows.append(np.concatenate(chunks) if chunks
+                    else np.zeros(0, dtype=np.int8))
+    L = max((len(r) for r in rows), default=1)
+    if pad_to is not None:
+        L = max(L, pad_to)
+    out = np.full((len(rows), max(L, 1)), -1, dtype=np.int8)
+    for i, r in enumerate(rows):
+        out[i, :len(r)] = r
+    return out
+
+
+def device_build_counts(records, k: int, dtype_max: int,
+                        mesh=None, axis: str = "data"):
+    """Host wrapper: records -> (counts [n, 4^k] int32 saturated
+    pseudocounted, one_mers [n, 4] int64), built on the device mesh.
+    Rows are padded to the mesh size; memory is bounded by chunking over
+    row blocks."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n = len(records)
+    if n == 0:
+        return (np.zeros((0, 4**k), np.int32), np.zeros((0, 4), np.int64))
+    codes = pack_segment_codes(records)
+    build = sharded_histogram_build(mesh, k, dtype_max, axis=axis)
+    # block rows so [block, L] stays modest; blocks padded to mesh multiples
+    per_dev_rows = max(1, (1 << 26) // max(codes.shape[1], 1) // ndev)
+    block = per_dev_rows * ndev
+    outs_c, outs_o = [], []
+    for s in range(0, n, block):
+        chunk = codes[s:s + block]
+        pad = (-len(chunk)) % ndev
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.full((pad, chunk.shape[1]), -1, np.int8)])
+        c, o = build(jnp.asarray(chunk))
+        outs_c.append(np.asarray(c)[:len(codes[s:s + block])])
+        outs_o.append(np.asarray(o)[:len(codes[s:s + block])])
+    return np.concatenate(outs_c), np.concatenate(outs_o).astype(np.int64)

@@ -94,19 +94,24 @@ class MeshScorer:
         self.self_dots = shard(self_dots, spec_rows)
 
         self._fn = self._build(d)
+        self._pair_fn = self._build_pairs(d)
         from ..cluster.engine import HostScorer
 
         self._host = HostScorer(ps, model)
         self.scored_pairs = 0
         self.rechecked_pairs = 0
 
+    # mixed-center batches replicate their unique rows on every device;
+    # bound that working set (merge batches reference only center rows, so
+    # this covers them at any realistic scale)
+    MAX_PAIR_UNIQUE_ROWS = 1 << 14
+
     # ------------------------------------------------------------------
 
-    def _build(self, d: int):
-        import jax
+    def _singles_epilogue(self, d: int):
+        """Shared singles + decision epilogue; `pairwise` selects whether
+        the second side is one replicated center row or a per-pair batch."""
         import jax.numpy as jnp
-        from jax.sharding import PartitionSpec as P
-        from jax import shard_map
 
         model = self.model
         singles = model.singles
@@ -118,13 +123,14 @@ class MeshScorer:
         combo_spec = tuple(
             (kind, tuple(idxs)) for kind, idxs in model.combos
         )
-        axis = self.axis
 
-        def singles_fn(H, mg, ln, sd, sdot, center, c_mg, c_ln, c_sd, c_sdot):
+        def base(H, mg, ln, sd, sdot, center, c_mg, c_ln, c_sd, c_sdot,
+                 pairwise=False):
+            cb = center if pairwise else center[None, :]
             outs = []
-            summin = jnp.minimum(H, center[None, :]).sum(axis=1)
-            diff = H - center[None, :]
-            dot = (H * center[None, :]).sum(axis=1)
+            summin = jnp.minimum(H, cb).sum(axis=1)
+            diff = H - cb
+            dot = (H * cb).sum(axis=1)
             for flag in singles:
                 if flag == F.FEAT_MANHATTAN:
                     outs.append(jnp.abs(diff).sum(axis=1))
@@ -186,6 +192,20 @@ class MeshScorer:
             prob = 1.0 / (1.0 + jnp.exp(-s)) + jnp.float32(bias)
             return prob, combo[:, 0]
 
+        return base
+
+    def _build(self, d: int):
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        axis = self.axis
+        base = self._singles_epilogue(d)
+
+        def singles_fn(H, mg, ln, sd, sdot, center, c_mg, c_ln, c_sd, c_sdot):
+            return base(H, mg, ln, sd, sdot, center, c_mg, c_ln, c_sd,
+                        c_sdot, pairwise=False)
+
         fn = shard_map(
             singles_fn,
             mesh=self.mesh,
@@ -194,6 +214,61 @@ class MeshScorer:
             out_specs=(P(axis), P(axis)),
         )
         return jax.jit(fn)
+
+    def _build_pairs(self, d: int):
+        """Pair-sharded kernel for mixed-center batches (the merge pass,
+        Trainer.cpp:73-109): unique rows replicated, pair indices sharded
+        over the mesh — every chip scores its pair slice, no collective.
+        Every MESH_SUPPORTED single is symmetric, so (a, b) order does not
+        matter here."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        axis = self.axis
+        base = self._singles_epilogue(d)
+
+        def pair_fn(rows_mat, mg, ln, sd, sdot, a_idx, b_idx):
+            H = rows_mat[a_idx]
+            center_side = rows_mat[b_idx]
+            return base(
+                H, mg[a_idx], ln[a_idx], sd[a_idx], sdot[a_idx],
+                center_side, mg[b_idx], ln[b_idx], sd[b_idx], sdot[b_idx],
+                pairwise=True,
+            )
+
+        fn = shard_map(
+            pair_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )
+        return jax.jit(fn)
+
+    def _score_pairs_sharded(self, a_rows, b_rows):
+        import jax.numpy as jnp
+
+        uniq, inv = np.unique(
+            np.concatenate([a_rows, b_rows]), return_inverse=True)
+        n = len(a_rows)
+        a_loc = inv[:n].astype(np.int32)
+        b_loc = inv[n:].astype(np.int32)
+        pad = (-n) % self.n_dev
+        if pad:
+            a_loc = np.concatenate([a_loc, np.zeros(pad, np.int32)])
+            b_loc = np.concatenate([b_loc, np.zeros(pad, np.int32)])
+        ps = self.ps
+        rows_mat = jnp.asarray(ps.counts[uniq].astype(np.float32))
+        mg = jnp.asarray(ps.mags[uniq].astype(np.float32))
+        ln = jnp.asarray(ps.lengths[uniq].astype(np.float32))
+        sd = jnp.asarray(ps.stddevs[uniq].astype(np.float32))
+        c64 = ps.counts[uniq].astype(np.float64)
+        sdot = jnp.asarray(np.einsum("ij,ij->i", c64, c64).astype(np.float32))
+        prob, dist = self._pair_fn(rows_mat, mg, ln, sd, sdot,
+                                   jnp.asarray(a_loc), jnp.asarray(b_loc))
+        return (np.asarray(prob)[:n].astype(np.float64),
+                np.asarray(dist)[:n].astype(np.float64))
 
     # ------------------------------------------------------------------
 
@@ -220,9 +295,24 @@ class MeshScorer:
         if len(a_rows) == 1:
             a_rows = np.broadcast_to(a_rows, b_rows.shape)
         if not (b_rows == b_rows[0]).all():
-            # mixed-center batches (the merge pass) are small and
-            # latency-sensitive: route to the host scorer
-            return self._host.score(a_rows, b_rows)
+            # mixed-center batches (the merge pass): pair-sharded over the
+            # mesh with the unique rows replicated; falls back to the host
+            # oracle only beyond the replication bound
+            uniq = np.unique(np.concatenate([a_rows, b_rows]))
+            if len(uniq) > self.MAX_PAIR_UNIQUE_ROWS:
+                return self._host.score(a_rows, b_rows)
+            prob, dist = self._score_pairs_sharded(a_rows, b_rows)
+            self.scored_pairs += len(a_rows)
+            if self.exact_recheck:
+                frac = np.abs(prob - np.floor(prob) - 0.5)
+                borderline = frac < self.prob_margin
+                idx = np.nonzero(borderline)[0]
+                if len(idx):
+                    self.rechecked_pairs += len(idx)
+                    p2, d2 = self._host.score(a_rows[idx], b_rows[idx])
+                    prob[idx] = p2
+                    dist[idx] = d2
+            return prob, dist
         prob_all, dist_all = self.score_center_all(int(b_rows[0]))
         prob = prob_all[a_rows].copy()
         dist = dist_all[a_rows].copy()

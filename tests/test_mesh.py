@@ -22,21 +22,28 @@ def _shard(mesh, arr, spec):
 
 def test_sharded_histogram_matches_host(mesh8):
     from meshclust2_tpu.io.fasta import SequenceRecord
-    from meshclust2_tpu.kmer.counting import count_histogram
+    from meshclust2_tpu.kmer.counting import count_1mers, count_histogram
 
     k = 3
     rng = np.random.default_rng(0)
     n, L = 16, 64
-    codes = rng.integers(0, 4, size=(n, L)).astype(np.int32)
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.int8)
     codes[:, -3:] = -1
-    fn = M.sharded_histogram_build(mesh8, k)
-    got = np.asarray(fn(_shard(mesh8, codes, P("data"))))
+    codes[3, 10] = -1  # a segment break mid-row
+    fn = M.sharded_histogram_build(mesh8, k, dtype_max=255)
+    got_c, got_o = fn(_shard(mesh8, codes.astype(np.int8), P("data")))
+    got_c, got_o = np.asarray(got_c), np.asarray(got_o)
     for i in range(n):
         arr = codes[i]
-        segs = np.array([[0, int((arr >= 0).sum()) - 1]])
-        rec = SequenceRecord(">x", arr.astype(np.int8), segs, L - 3, L)
-        want = count_histogram(rec, k, None)
-        np.testing.assert_array_equal(got[i], want)
+        # segments = maximal runs of valid codes
+        valid = arr >= 0
+        edges = np.diff(np.concatenate([[0], valid.view(np.int8), [0]]))
+        starts = np.nonzero(edges == 1)[0]
+        ends = np.nonzero(edges == -1)[0] - 1
+        segs = np.stack([starts, ends], axis=1)
+        rec = SequenceRecord(">x", arr, segs, int(valid.sum()), L)
+        np.testing.assert_array_equal(got_c[i], count_histogram(rec, k, 255))
+        np.testing.assert_array_equal(got_o[i], count_1mers(rec))
 
 
 def test_sharded_glm_matches_numpy(mesh8):
