@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="scoring backend: float64 host oracle or batched device kernels",
     )
     p.add_argument(
+        "--multihost", action="store_true",
+        help="multi-process data-parallel run over jax.distributed "
+             "(MC2_NPROCS/MC2_PROC_ID/MC2_COORD env); requires --recover",
+    )
+    p.add_argument(
         "--checkpoint",
         default=None,
         metavar="FILE",
@@ -293,6 +298,10 @@ def make_scorer(ps: PointSet, model: CompiledModel, device: str):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        from .parallel.multihost import run_multihost
+
+        return run_multihost(args)
     if args.device == "tpu":
         # bring the backend up before any clock stamp (slow tunneled init;
         # falls back to host scoring later if it cannot come up)

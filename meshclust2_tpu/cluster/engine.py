@@ -187,6 +187,9 @@ class MeanShiftEngine:
         self.delta = delta
         self.iterations = iterations
         self.bin_size = bin_size
+        # multihost runs keep histogram rows sharded across processes and
+        # fetch the few host-needed rows on demand (parallel/multihost.py)
+        self.row_fetcher = None
         self.stats = EngineStats()
         self.__counts_f: Optional[np.ndarray] = None
         # same-center scan cache for the accumulate loop: when get_mean
@@ -262,20 +265,29 @@ class MeanShiftEngine:
             back,
         )
 
+    def _rows(self, rows: np.ndarray) -> np.ndarray:
+        """Histogram rows as a host array — from the local matrix or, on
+        multihost runs, fetched from the sharded global matrix."""
+        if self.row_fetcher is not None:
+            return self.row_fetcher(rows)
+        return self.ps.counts[rows]
+
     def _get_mean(self, current: List[int]) -> int:
         """Member closest to the arithmetic mean (ClusterFactory.cpp:337-380),
         first strict minimum wins."""
         rows = np.asarray(current, dtype=np.int64)
-        from ..native import mean_shift_argmin_batch
+        if self.row_fetcher is None:
+            from ..native import mean_shift_argmin_batch
 
-        res = mean_shift_argmin_batch(
-            self.ps.counts, self.ps.mags, rows,
-            np.array([0, len(rows)], dtype=np.int64),
-        )
-        if res is not None:
-            return int(res[0])
-        top = self._counts_f[rows].mean(axis=0)
-        d = distance_d(self.ps.counts[rows], top)
+            res = mean_shift_argmin_batch(
+                self.ps.counts, self.ps.mags, rows,
+                np.array([0, len(rows)], dtype=np.int64),
+            )
+            if res is not None:
+                return int(res[0])
+        cnts = self._rows(rows)
+        top = cnts.astype(np.float64).mean(axis=0)
+        d = distance_d(cnts, top)
         return int(rows[int(np.argmin(d))])
 
     def accumulate_all(self, bv: BVec) -> List[Cluster]:
@@ -528,16 +540,18 @@ class MeanShiftEngine:
             for t, j in enumerate(todo):
                 offsets[t + 1] = offsets[t] + len(kept_rows_per_j[j])
             flat = np.concatenate([kept_rows_per_j[j] for j in todo])
-            native = mean_shift_argmin_batch(
-                self.ps.counts, self.ps.mags, flat, offsets
-            )
+            native = None if self.row_fetcher is not None else \
+                mean_shift_argmin_batch(
+                    self.ps.counts, self.ps.mags, flat, offsets
+                )
             for t, j in enumerate(todo):
                 good = kept_rows_per_j[j]
                 if native is not None:
                     res = int(native[t])
                 else:
-                    top = self._counts_f[good].mean(axis=0)
-                    d = distance_d(self.ps.counts[good], top)
+                    cg = self._rows(good)
+                    top = cg.astype(np.float64).mean(axis=0)
+                    d = distance_d(cg, top)
                     res = int(good[int(np.argmin(d))])
                 new_centers[j] = res
                 cl = clusters[j]
@@ -566,8 +580,9 @@ class MeanShiftEngine:
                 new_centers[j] = int(rowsk[first[j]])
             else:
                 good = rowsk[lo:hi]
-                top = self._counts_f[good].mean(axis=0)
-                d = distance_d(self.ps.counts[good], top)
+                cg = self._rows(good)
+                top = cg.astype(np.float64).mean(axis=0)
+                d = distance_d(cg, top)
                 new_centers[j] = int(good[int(np.argmin(d))])
         return new_centers
 
