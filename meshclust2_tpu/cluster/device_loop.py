@@ -155,12 +155,21 @@ def envelope_check(ps, model_singles_checked=True):
     return self_dots
 
 
+# relative error of the dd pipeline (measured ~5e-14 end-to-end; 2^-40
+# leaves a 9000x cushion) and the host oracle's pairwise-summation epsilon
+_ETA = np.float32(2.0**-40)
+_EPS64 = 1.1e-16
+
+
 def derive_singles_dd(pack, d, jnp, stats, a, b):
         """Mirror of ops/pallas_stats.derive_singles in dd arithmetic.
 
         stats: dict summin/dot/emd (int32 [W]); a/b: per-side dicts with
-        mags/selfdot (int32/int64), std dd pairs, lens (int32).  Returns a
-        list of dd singles in pack.singles order."""
+        mags/selfdot (int32/int64), std dd pairs, lens (int32).  Returns
+        (singles, errs): dd values plus ABSOLUTE error bounds per single —
+        the bound covers both the dd arithmetic and the difference between
+        the identity-form value and the host oracle's direct f64 sums
+        (which matters where sums cancel: d2z, euclidean_z)."""
         summin, dot, emd = stats["summin"], stats["dot"], stats["emd"]
         i64 = lambda v: v.astype(jnp.int64)
         mag_a, mag_b = i64(a["mags"]), i64(b["mags"])
@@ -173,7 +182,13 @@ def derive_singles_dd(pack, d, jnp, stats, a, b):
         inv_d = np.float32(1.0 / d)
 
         out = []
+        errs = []
         cache = {}
+        # host pairwise-summation absolute coefficients (see docstring):
+        # pearson is protected by Cauchy-Schwarz (sum|dp dq| <= sqrt(na nb)),
+        # d2z's denominator is d x smaller, euclidean_z cancels openly
+        eta_host = np.float32(_EPS64 * (np.log2(max(d, 2)) + 2))
+        eta_d2z = np.float32(_EPS64 * (np.log2(max(d, 2)) + 2) * d)
 
         def sqrt_norm2():
             if "sq" not in cache:
@@ -201,10 +216,13 @@ def derive_singles_dd(pack, d, jnp, stats, a, b):
         for flag in pack.singles:
             if flag == F.FEAT_MANHATTAN:
                 out.append(dd_i(mag_a + mag_b - 2 * i64(summin)))
+                errs.append(jnp.zeros_like(out[-1][0]))
             elif flag == F.FEAT_EUCLIDEAN:
                 out.append(sqrt_norm2())
+                errs.append(_ETA * jnp.abs(out[-1][0]))
             elif flag == F.FEAT_INTERSECTION:
                 out.append(DD.dd_div(dd_i(2 * i64(summin)), dd_i(mag_a + mag_b)))
+                errs.append(_ETA * jnp.abs(out[-1][0]))
             elif flag == F.FEAT_KULCZYNSKI2:
                 ap = dd_i(mag_a)
                 ap = (ap[0] * inv_d, ap[1] * inv_d)
@@ -216,17 +234,22 @@ def derive_singles_dd(pack, d, jnp, stats, a, b):
                 den = (den[0] * np.float32(2.0), den[1] * np.float32(2.0))
                 coeff = DD.dd_div(num, den)
                 out.append(DD.dd_mul(coeff, dd_i(i64(summin))))
+                errs.append(_ETA * jnp.abs(out[-1][0]))
             elif flag == F.FEAT_SIMRATIO:
                 out.append(DD.dd_div(dd_dot, DD.dd_add(dd_dot, sqrt_norm2())))
+                errs.append(_ETA * jnp.abs(out[-1][0]))
             elif flag == F.FEAT_NORMALIZED_VECTORS:
                 out.append(DD.dd_div(dd_dot, DD.dd_sqrt(dd_i(self_a * self_b))))
+                errs.append(_ETA * jnp.abs(out[-1][0]))
             elif flag == F.FEAT_PEARSON_COEFF:
                 na = var_side("a", mag_a, self_a)
                 nb_ = var_side("b", mag_b, self_b)
                 out.append(DD.dd_div(cov(), DD.dd_sqrt(DD.dd_mul(na, nb_))))
+                errs.append(_ETA * jnp.abs(out[-1][0]) + eta_host)
             elif flag == F.FEAT_D2z:
                 sa, sb = a["std"], b["std"]
                 out.append(DD.dd_div(cov(), DD.dd_mul(sa, sb)))
+                errs.append(_ETA * jnp.abs(out[-1][0]) + eta_d2z)
             elif flag == F.FEAT_EUCLIDEAN_Z:
                 sa, sb = a["std"], b["std"]
                 na = var_side("a", mag_a, self_a)
@@ -237,53 +260,103 @@ def derive_singles_dd(pack, d, jnp, stats, a, b):
                 t = DD.dd_add(ea, eb)
                 t = DD.dd_sub(t, (dz[0] * np.float32(2.0), dz[1] * np.float32(2.0)))
                 out.append(DD.dd_sqrt(t))
+                # cancellation in na/s^2 + nb/s^2 - 2 dz amplifies both the
+                # dd error and the host's summation error relative to ez
+                t_mag = jnp.abs(ea[0]) + jnp.abs(eb[0]) + 2 * jnp.abs(dz[0])
+                ezv = jnp.maximum(jnp.abs(out[-1][0]), np.float32(1e-3))
+                errs.append((_ETA * t_mag + eta_d2z) / (2 * ezv)
+                            + _ETA * ezv)
             elif flag == F.FEAT_EMD:
                 out.append(dd_i(i64(emd)))
+                errs.append(jnp.zeros_like(out[-1][0]))
             elif flag == F.FEAT_LENGTHD:
                 la, lb = i64(a["lens"]), i64(b["lens"])
                 out.append(dd_i(jnp.abs(la - lb)))
+                errs.append(jnp.zeros_like(out[-1][0]))
             else:  # pragma: no cover - guarded by _pack_model
                 raise AssertionError(flag)
-        return out
+        return out, errs
 
-def epilogue_dd(pack, singles_dd):
-        """(s, dist) dd from raw dd singles (model.classifier semantics)."""
-        pk = pack
-        normed = []
-        for i, v in enumerate(singles_dd):
-            mn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.mins[i]))))
-            dn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.dens[i]))))
-            z = DD.dd_div(DD.dd_sub(v, mn), dn)
-            if not pk.is_sim[i]:
-                one = DD.dd(np.float32(1.0), np.float32(0.0))
-                z = DD.dd_sub(one, z)
-            normed.append(z)
-        combos = []
-        for kind, idxs in pk.combos:
-            if kind == F.COMBO_XY:
-                c = normed[idxs[0]]
-                for j in idxs[1:]:
-                    c = DD.dd_mul(c, normed[j])
-            elif kind == F.COMBO_X2Y2:
-                c = DD.dd_mul(normed[idxs[0]], normed[idxs[0]])
-                for j in idxs[1:]:
-                    c = DD.dd_mul(c, DD.dd_mul(normed[j], normed[j]))
-            elif kind == F.COMBO_XY2:
-                i0, i1 = idxs
-                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i1]), normed[i1])
-            elif kind == F.COMBO_X2Y:
-                i0, i1 = idxs
-                c = DD.dd_mul(DD.dd_mul(normed[i0], normed[i0]), normed[i1])
-            else:  # pragma: no cover
-                raise AssertionError(kind)
-            combos.append(c)
-        w0 = DD.split_f64(np.float64(pk.weights[0]))
-        s = DD.dd(np.float32(w0[0]), np.float32(w0[1]))
-        for c, w in zip(combos, pk.weights[1:]):
-            wd = DD.split_f64(np.float64(w))
-            s = DD.dd_add(s, DD.dd_mul(c, DD.dd(np.float32(wd[0]), np.float32(wd[1]))))
-        dist = combos[0] if combos else DD.dd(np.float32(0.0), np.float32(0.0))
-        return s, dist
+def epilogue_dd(pack, singles_err):
+    """(s, dist, s_err, dist_err) from (singles, errs): the model decision
+    path (normalize -> combos -> weighted sum, model/classifier.py) in dd
+    with first-order ABSOLUTE error propagation.  The error bounds are what
+    make the decision margins sound: normalization subtracts near-equal
+    values and the GLM terms cancel, so relative-to-|s| margins understate
+    the true uncertainty (first seen as a flipped 6th digit in fastcar
+    regression output)."""
+    import jax.numpy as jnp
+
+    singles_dd, singles_errs = singles_err
+    pk = pack
+    normed = []
+    nerrs = []
+    for i, v in enumerate(singles_dd):
+        mn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.mins[i]))))
+        dn = DD.dd(*(np.float32(x) for x in DD.split_f64(np.float64(pk.dens[i]))))
+        z = DD.dd_div(DD.dd_sub(v, mn), dn)
+        inv_den = np.float32(1.0 / abs(pk.dens[i])) if pk.dens[i] != 0 \
+            else np.float32(np.inf)
+        ze = (singles_errs[i]
+              + _ETA * (jnp.abs(v[0]) + np.float32(abs(pk.mins[i])))) * inv_den \
+            + _ETA * jnp.abs(z[0])
+        if not pk.is_sim[i]:
+            one = DD.dd(np.float32(1.0), np.float32(0.0))
+            z = DD.dd_sub(one, z)
+            ze = ze + _ETA
+        normed.append(z)
+        nerrs.append(ze)
+    combos = []
+    cerrs = []
+
+    def mul_err(c, ce, z, ze):
+        nc = DD.dd_mul(c, z)
+        nce = ce * jnp.abs(z[0]) + ze * jnp.abs(c[0]) + _ETA * jnp.abs(nc[0])
+        return nc, nce
+
+    for kind, idxs in pk.combos:
+        if kind == F.COMBO_XY:
+            c, ce = normed[idxs[0]], nerrs[idxs[0]]
+            for j in idxs[1:]:
+                c, ce = mul_err(c, ce, normed[j], nerrs[j])
+        elif kind == F.COMBO_X2Y2:
+            c, ce = mul_err(normed[idxs[0]], nerrs[idxs[0]],
+                            normed[idxs[0]], nerrs[idxs[0]])
+            for j in idxs[1:]:
+                c, ce = mul_err(c, ce, normed[j], nerrs[j])
+                c, ce = mul_err(c, ce, normed[j], nerrs[j])
+        elif kind == F.COMBO_XY2:
+            i0, i1 = idxs
+            c, ce = mul_err(normed[i0], nerrs[i0], normed[i1], nerrs[i1])
+            c, ce = mul_err(c, ce, normed[i1], nerrs[i1])
+        elif kind == F.COMBO_X2Y:
+            i0, i1 = idxs
+            c, ce = mul_err(normed[i0], nerrs[i0], normed[i0], nerrs[i0])
+            c, ce = mul_err(c, ce, normed[i1], nerrs[i1])
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+        combos.append(c)
+        cerrs.append(ce)
+    w0 = DD.split_f64(np.float64(pk.weights[0]))
+    ssum = DD.dd(np.float32(w0[0]), np.float32(w0[1]))
+    s_err = jnp.zeros_like(combos[0][0]) if combos else np.float32(0.0)
+    s_err = s_err + _ETA * np.float32(abs(pk.weights[0]))
+    for c, ce, w in zip(combos, cerrs, pk.weights[1:]):
+        wd = DD.split_f64(np.float64(w))
+        ssum = DD.dd_add(
+            ssum, DD.dd_mul(c, DD.dd(np.float32(wd[0]), np.float32(wd[1]))))
+        aw = np.float32(abs(w))
+        s_err = s_err + aw * ce + _ETA * aw * jnp.abs(c[0])
+    if combos:
+        dist, dist_err = combos[0], cerrs[0]
+    else:
+        dist = DD.dd(np.float32(0.0), np.float32(0.0))
+        dist_err = np.float32(0.0)
+    return ssum, dist, s_err, dist_err
+
+
+# X2Y2 squares each subsequent factor twice via mul_err above, which is
+# exactly prod(z_j^2) with its error; see classifier.combo_matrix.
 
 
 class DeviceAccumulator:
@@ -371,8 +444,8 @@ class DeviceAccumulator:
     def _derive_singles_dd(self, jnp, stats, a, b):
         return derive_singles_dd(self.pack, self._d, jnp, stats, a, b)
 
-    def _epilogue_dd(self, jnp, singles_dd):
-        return epilogue_dd(self.pack, singles_dd)
+    def _epilogue_dd(self, jnp, singles_err):
+        return epilogue_dd(self.pack, singles_err)
 
 
     # -- the device program ----------------------------------------------------
@@ -434,6 +507,7 @@ class DeviceAccumulator:
                 j: jnp.ndarray
                 bh: jnp.ndarray          # best dist dd
                 bl: jnp.ndarray
+                berr: jnp.ndarray        # best's absolute dist error bound
                 bpos: jnp.ndarray        # flat pos of best (NONE if none)
                 bsig: tuple              # best's integer/dd signature
                 any_pos: jnp.ndarray
@@ -483,13 +557,16 @@ class DeviceAccumulator:
                 # reference order: feat->compute(candidate, center)
                 stats = {"summin": summin, "dot": dot, "emd": emd}
                 singles = self._derive_singles_dd(jnp, stats, b_side, a_bc)
-                s_dd, dist_dd = self._epilogue_dd(jnp, singles)
+                s_dd, dist_dd, s_err, dist_err = self._epilogue_dd(jnp, singles)
 
-                # positive gate with margin guard
+                # positive gate: uncertain within the propagated ABSOLUTE
+                # error bound (times a safety factor) or the relative
+                # margin knob, whichever is larger
                 diff = DD.dd_sub(s_dd, edge_dd)
                 pos = pass_m & ((diff[0] > 0) | ((diff[0] == 0) & (diff[1] >= 0)))
                 s_scale = jnp.maximum(jnp.abs(s_dd[0]), edge_scale)
-                unc = pass_m & (jnp.abs(diff[0] + diff[1]) <= margin * s_scale)
+                thr = jnp.maximum(8 * s_err, margin * s_scale)
+                unc = pass_m & (jnp.abs(diff[0] + diff[1]) <= thr)
 
                 # dist argmax, first strict max in flat order
                 vh = jnp.where(pass_m, dist_dd[0], neg_inf)
@@ -508,8 +585,10 @@ class DeviceAccumulator:
                     sig_eq_best &= (x == bx)
                 vexact_eq = (vh == vh[first_i]) & (vl == vl[first_i])
                 scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
+                tie_thr = jnp.maximum(8 * (dist_err + dist_err[first_i]),
+                                      tie_margin * scale)
                 near = pass_m & (jnp.abs((vh - vh[first_i]) + (vl - vl[first_i]))
-                                 <= tie_margin * scale)
+                                 <= tie_thr)
                 unc_tie = (near & ~(vexact_eq & sig_eq_best)).any() & chunk_any
 
                 # merge chunk best into carry best.  Lexicographic dd
@@ -524,12 +603,14 @@ class DeviceAccumulator:
                 for bx, cx in zip(bsig, sc.bsig):
                     sig_eq_carry &= (bx == cx)
                 dapx = (vh[first_i] + vl[first_i]) - (sc.bh + sc.bl)
-                cross_near = chunk_any & carry_valid & (
-                    jnp.abs(dapx) <= tie_margin *
-                    jnp.maximum(jnp.abs(sc.bh), jnp.float32(1.0)))
+                cross_thr = jnp.maximum(
+                    8 * (dist_err[first_i] + sc.berr),
+                    tie_margin * jnp.maximum(jnp.abs(sc.bh), jnp.float32(1.0)))
+                cross_near = chunk_any & carry_valid & (jnp.abs(dapx) <= cross_thr)
                 unc_cross = cross_near & ~(leq & sig_eq_carry)
                 nbh = jnp.where(better, vh[first_i], sc.bh)
                 nbl = jnp.where(better, vl[first_i], sc.bl)
+                nberr = jnp.where(better, dist_err[first_i], sc.berr)
                 npos = jnp.where(better, start_c + first_i.astype(jnp.int32), sc.bpos)
                 nsig = tuple(jnp.where(better, bx, cx)
                              for bx, cx in zip(bsig, sc.bsig))
@@ -542,7 +623,7 @@ class DeviceAccumulator:
 
                 return SC(
                     j=sc.j + 1,
-                    bh=nbh, bl=nbl, bpos=npos, bsig=nsig,
+                    bh=nbh, bl=nbl, berr=nberr, bpos=npos, bsig=nsig,
                     any_pos=sc.any_pos | pos.any(),
                     uncert=sc.uncert | unc.any() | unc_tie | unc_cross,
                     msum=sc.msum + csum.astype(jnp.int64),
@@ -551,7 +632,8 @@ class DeviceAccumulator:
                 )
 
             init = SC(
-                j=jnp.int32(0), bh=neg_inf, bl=neg_inf, bpos=NONE,
+                j=jnp.int32(0), bh=neg_inf, bl=neg_inf,
+                berr=jnp.float32(0.0), bpos=NONE,
                 bsig=zero_sig, any_pos=jnp.bool_(False), uncert=jnp.bool_(False),
                 msum=jnp.zeros(D, jnp.int64), mcnt=jnp.int32(0),
                 pmask=jnp.zeros(npad, jnp.bool_),
@@ -629,8 +711,11 @@ class DeviceAccumulator:
                 csig = (dist2[ci], mag[ci])
                 # near-tie guards within the chunk (exact int-equal is safe)
                 sig_eq = memb & (dist2 == csig[0]) & (mag == csig[1])
+                # absolute floor: v = 1e4*(1-frac^2) carries ~3e-9 absolute
+                # dd error near frac ~= 1, where |v| itself goes to zero
                 scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
-                near = memb & (jnp.abs((vh - mh) + (vl - ml)) <= tie_margin * scale)
+                thr_m = jnp.maximum(tie_margin * scale, jnp.float32(1e-7))
+                near = memb & (jnp.abs((vh - mh) + (vl - ml)) <= thr_m)
                 unc_tie = (near & ~sig_eq).any() & chunk_any
 
                 # lexicographic dd compare against the carry (see the
@@ -644,8 +729,10 @@ class DeviceAccumulator:
                 sig_eq_carry = (csig[0] == mc.bsig[0]) & (csig[1] == mc.bsig[1])
                 dapx = (mh + ml) - (mc.vh + mc.vl)
                 cross_near = chunk_any & carry_valid & (
-                    jnp.abs(dapx) <= tie_margin *
-                    jnp.maximum(jnp.abs(mc.vh), jnp.float32(1.0)))
+                    jnp.abs(dapx) <= jnp.maximum(
+                        tie_margin *
+                        jnp.maximum(jnp.abs(mc.vh), jnp.float32(1.0)),
+                        jnp.float32(1e-7)))
                 unc_cross = cross_near & ~(leq & sig_eq_carry)
 
                 return MC(

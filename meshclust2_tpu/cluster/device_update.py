@@ -119,8 +119,8 @@ class DeviceUpdater:
         stats = {"summin": summin, "dot": dot, "emd": emd}
         singles = derive_singles_dd(self.pack, self.d, jnp, stats,
                                     self._side(a_idx), self._side(b_idx))
-        s_dd, dist_dd = epilogue_dd(self.pack, singles)
-        return s_dd[0], s_dd[1], dist_dd[0], dist_dd[1]
+        s_dd, dist_dd, s_err, dist_err = epilogue_dd(self.pack, singles)
+        return s_dd[0], s_dd[1], dist_dd[0], dist_dd[1], s_err, dist_err
 
     MAX_PAIR_CHUNK = 1 << 17
 
@@ -136,11 +136,16 @@ class DeviceUpdater:
         if n == 0:
             return np.zeros(0), np.zeros(0)
         if n > self.MAX_PAIR_CHUNK:
-            parts = [
-                self.score_sum_dist(a_rows[s:s + self.MAX_PAIR_CHUNK],
-                                    b_rows[s:s + self.MAX_PAIR_CHUNK])
-                for s in range(0, n, self.MAX_PAIR_CHUNK)
-            ]
+            parts = []
+            serrs, derrs = [], []
+            for st in range(0, n, self.MAX_PAIR_CHUNK):
+                parts.append(self.score_sum_dist(
+                    a_rows[st:st + self.MAX_PAIR_CHUNK],
+                    b_rows[st:st + self.MAX_PAIR_CHUNK]))
+                serrs.append(self.last_serr)
+                derrs.append(self.last_derr)
+            self.last_serr = np.concatenate(serrs)
+            self.last_derr = np.concatenate(derrs)
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         m = _bucket(n)
@@ -148,21 +153,28 @@ class DeviceUpdater:
         bp = np.zeros(m, np.int32)
         ap[:n] = a_rows
         bp[:n] = b_rows
-        sh, sl, dh, dl = self._score_jit(jnp.asarray(ap), jnp.asarray(bp))
+        sh, sl, dh, dl, serr, derr = self._score_jit(
+            jnp.asarray(ap), jnp.asarray(bp))
         self.scored_pairs += n
         s = np.asarray(sh, np.float64)[:n] + np.asarray(sl, np.float64)[:n]
         dist = np.asarray(dh, np.float64)[:n] + np.asarray(dl, np.float64)[:n]
+        self.last_serr = np.asarray(serr, np.float64)[:n]
+        self.last_derr = np.asarray(derr, np.float64)[:n]
         return s, dist
 
     def _band_decide(self, s: np.ndarray, band) -> Tuple[np.ndarray, np.ndarray]:
-        """in-band mask + uncertainty mask for s against [lo, hi)."""
+        """in-band mask + uncertainty mask for s against [lo, hi).  The
+        margin scales with the per-pair GLM term magnitudes (last_smag):
+        cancellation makes the dd error track sum |c_j w_j|, not |s|."""
         lo, hi = band
+        err = getattr(self, "last_serr", np.zeros(len(s)))
         inb = np.ones(len(s), dtype=bool)
         unc = np.zeros(len(s), dtype=bool)
         for edge, ge in ((lo, True), (hi, False)):
             if np.isfinite(edge):
                 inb &= (s >= edge) if ge else (s < edge)
-                unc |= np.abs(s - edge) <= self.margin * max(abs(edge), 1.0)
+                thr = np.maximum(8 * err, self.margin * max(abs(edge), 1.0))
+                unc |= np.abs(s - edge) <= thr
             elif (edge == -np.inf) != ge:
                 # hi == -inf or lo == +inf: band empty
                 inb &= False
@@ -210,8 +222,12 @@ class DeviceUpdater:
                 if m.sum() < 2:
                     continue
                 d = dist[lo_i:hi_i][m]
+                derr = self.last_derr[lo_i:hi_i][m] if \
+                    hasattr(self, "last_derr") else np.zeros_like(d)
                 mx = d.max()
-                near = (np.abs(d - mx) <= self.tie_margin * max(abs(mx), 1.0))
+                near = np.abs(d - mx) <= np.maximum(
+                    8 * (derr + derr.max()),
+                    self.tie_margin * max(abs(mx), 1.0))
                 if near.sum() > 1 and not np.all(d[near] == mx):
                     amb_segs.append((lo_i, hi_i))
             for lo_i, hi_i in amb_segs:

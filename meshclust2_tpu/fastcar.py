@@ -114,6 +114,80 @@ def load_chunks(files: List[str], k: int, datatype: str, chunk: int):
         yield build_point_set(buf, k, datatype)
 
 
+def _device_search_batches(db, q_ps, model_c, model_r, a_arr, q_arr):
+    """Device path for the all-vs-query grid (FC_Runner.cpp:426-471): the
+    densest, most TPU-friendly workload in the project — zero sequential
+    dependence, one [pairs] batch per block through the dd-f32 scoring
+    kernels (cluster/device_update.DeviceUpdater).
+
+    Decisions use the exact GLM-sum edges; regression values are dd
+    (~1e-13 relative), with a float64 host recheck of any pair whose
+    PRINTED value (the %g six-significant-digit output) could differ — so
+    output files are identical to the host path.  Returns (keep, sim) or
+    None when ineligible (MC2_FASTCAR_DEVICE unset, or outside the dd
+    envelope)."""
+    import os
+
+    if not os.environ.get("MC2_FASTCAR_DEVICE"):
+        return None
+    from .cluster.device_loop import DeviceLoopUnsupported
+    from .cluster.device_update import DeviceUpdater
+    from .model import thresholds as TH
+
+    q_off = db.n
+    combined = concat_point_sets([db, q_ps])
+    try:
+        upd_c = DeviceUpdater(combined, model_c, 0.9) if model_c else None
+        upd_r = DeviceUpdater(combined, model_r, 0.9) if model_r else None
+    except DeviceLoopUnsupported as e:
+        print(f"fastcar device path unavailable ({e}); using host",
+              file=sys.stderr)
+        return None
+    host = HostScorer(combined, model_c) if model_c else None
+    host_r = HostScorer(combined, model_r) if model_r else None
+    b_arr = q_arr + q_off
+    keep = np.ones(len(a_arr), dtype=bool)
+    if upd_c is not None:
+        s, _ = upd_c.score_sum_dist(a_arr, b_arr)
+        edge = TH.positive_edge(model_c.bias)
+        keep = s >= edge
+        thr = np.maximum(8 * upd_c.last_serr,
+                         upd_c.margin * max(abs(edge), 1.0))
+        unc = np.abs(s - edge) <= thr
+        idx = np.nonzero(unc)[0]
+        if len(idx):
+            prob, _ = host.score(a_arr[idx], b_arr[idx])
+            keep[idx] = c_round(prob) > 0
+    sim = np.ones(len(a_arr))
+    if upd_r is not None and keep.any():
+        sel = np.nonzero(keep)[0]
+        s_r, _ = upd_r.score_sum_dist(a_arr[sel], b_arr[sel])
+        vals = np.clip(s_r, 0.0, 1.0)
+        # recheck pairs whose printed %g value is sensitive at the dd
+        # error scale (term-magnitude based, see _band_decide), plus the
+        # print/clip boundaries around 0
+        eps = 8 * np.maximum(upd_r.last_serr, 1e-13)
+        lowp = np.array([f"{100 * v:g}" for v in np.clip(s_r - eps, 0, 1)])
+        highp = np.array([f"{100 * v:g}" for v in np.clip(s_r + eps, 0, 1)])
+        unc = (lowp != highp) | (np.abs(s_r) <= eps) | \
+            (np.abs(s_r - 1.0) <= eps)
+        idx = np.nonzero(unc)[0]
+        if len(idx):
+            from .features import host as HH
+
+            sub = sel[idx]
+            CH = HostScorer.CHUNK
+            for st in range(0, len(sub), CH):
+                en = min(len(sub), st + CH)
+                vals[idx[st:en]] = model_r.regression_value(
+                    H.side_from_pointset(combined, a_arr[sub[st:en]]),
+                    H.side_from_pointset(combined, b_arr[sub[st:en]]),
+                )
+        sim = np.zeros(len(a_arr))
+        sim[sel] = vals
+    return keep, sim
+
+
 def search(
     db_ps: PointSet,
     q_ps: PointSet,
@@ -157,6 +231,22 @@ def search(
     # materializing [P, 4^k] float64 sides for the whole block
     from .kmer.counting import concat_point_sets
     from .native import NativeScorer
+
+    device = _device_search_batches(db, q_ps, model_c, model_r,
+                                    a_arr, q_arr)
+    if device is not None:
+        keep, sim = device
+        n_pos = 0
+        for i in np.nonzero(keep)[0]:
+            n_pos += 1
+            s = sim[i]
+            if s > 0:
+                qh = q_ps.headers[int(q_arr[i])]
+                dh = db.headers[int(a_arr[i])]
+                if do_format:
+                    qh, dh = format_header(qh), format_header(dh)
+                out.write(f"{qh}{delim}{dh}{delim}{100 * s:g}\n")
+        return n_pos
 
     native_ok = (model_c is None or NativeScorer.supports(model_c)) and (
         model_r is None or NativeScorer.supports(model_r)

@@ -33,36 +33,80 @@ def _jnp():
     return jnp
 
 
+def _harden(x):
+    """Round-trip through int32 bits: makes the rounded f32 value opaque to
+    the backend's fast-math rewrites.  XLA:CPU emits fusion kernels whose
+    LLVM gets to contract/reassociate FP chains (and optimization_barrier
+    is dropped during HLO optimization), which silently destroys error-free
+    transforms — e.g. `p + e` with a rematerialized `p = a * b` becomes
+    fma(a, b, e), double-counting the product error two_prod extracted
+    (observed: ~half-ulp corruption of dd lo parts, CPU jit only).  An
+    integer XOR between two bitcasts cannot be folded away and no FP
+    rewrite crosses it.  Cost: 3 cheap elementwise int ops per pivot.
+    Guarded by test_ddf32_jit_exactness."""
+    import jax
+
+    jnp = _jnp()
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(i ^ jnp.int32(0), jnp.float32)
+
+
 # -- error-free transforms ---------------------------------------------------
 
 def two_sum(a, b):
     """s + e == a + b exactly (Knuth), s = fl(a+b)."""
-    s = a + b
+    s = _harden(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
-    return s, e
+    return s, _harden(e)
 
 
 def quick_two_sum(a, b):
     """Requires |a| >= |b| (or a == 0)."""
-    s = a + b
+    s = _harden(a + b)
     e = b - (s - a)
-    return s, e
+    return s, _harden(e)
 
 
 def _split(a):
-    t = a * _SPLITTER
-    hi = t - (t - a)
+    t = _harden(a * _SPLITTER)
+    hi = _harden(t - _harden(t - a))
     return hi, a - hi
 
 
+def _use_f64_widening() -> bool:
+    """XLA:CPU drops optimization_barrier and rematerializes cheap
+    multiplies into consumer fusions, where LLVM contracts mul+add into
+    FMA — so `p + e` silently becomes fma(a, b, e), double-counting the
+    product error two_prod already extracted (observed as ~1-ulp(value)
+    corruption of dd lo parts under jit, CPU only).  On CPU the product
+    error is instead computed by exact f64 widening: the returned p is a
+    CONVERT node, which no consumer can contract with.  TPU float64 is
+    low-precision emulation, so the TPU path keeps the Dekker split (its
+    exactness on-chip is asserted by the MC2_REAL_TPU test job)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:  # pragma: no cover - backend init failures
+        return False
+
+
 def two_prod(a, b):
-    """p + e == a * b exactly (Dekker, no FMA dependence)."""
-    p = a * b
+    """p + e == a * b exactly; see _use_f64_widening for the two paths."""
+    jnp = _jnp()
+    if _use_f64_widening():
+        a64 = a.astype(jnp.float64) if hasattr(a, "astype") else np.float64(a)
+        b64 = b.astype(jnp.float64) if hasattr(b, "astype") else np.float64(b)
+        prod = a64 * b64                       # exact: 24+24 bits
+        p = _harden(prod.astype(jnp.float32))
+        e = _harden((prod - p.astype(jnp.float64)).astype(jnp.float32))
+        return p, e
+    p = _harden(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
+    return p, _harden(e)
 
 
 # -- dd arithmetic ------------------------------------------------------------

@@ -85,3 +85,30 @@ def test_device_loop_med2000_parity(fixtures_dir, tmp_path):
                    env={"MC2_DEVICE_LOOP": "1", "MC2_DEVICE_STRICT": "1"},
                    fasta="med2000.fasta", weights="med2000_weights.txt")
     _exact(host, dev)
+
+
+def test_ddf32_jit_exactness():
+    """Canary for backend fast-math rewrites: the dd pipeline must keep
+    ~2^-45 accuracy UNDER JIT (XLA:CPU once contracted a rematerialized
+    product into `p + e`, collapsing dd to f32; see ddf32._harden)."""
+    import jax
+    import numpy as np
+
+    from meshclust2_tpu.ops import ddf32 as DD
+
+    rng = np.random.default_rng(1)
+    c64 = rng.random(4096)
+    C = DD.dd(*DD.split_f64(c64))
+    w = 0.211728345557612
+    wd = DD.split_f64(np.float64(w))
+
+    def chain(ch, cl):
+        x = DD.dd_mul((ch, cl), (np.float32(wd[0]), np.float32(wd[1])))
+        y = DD.dd_div(x, DD.dd_sqrt((ch, cl)))
+        return DD.dd_add(x, y)
+
+    rh, rl = jax.jit(chain)(*C)
+    got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    want = w * c64 + w * c64 / np.sqrt(c64)
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-12, rel.max()
