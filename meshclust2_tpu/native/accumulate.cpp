@@ -237,7 +237,6 @@ struct BVecNative {
     }
 };
 
-using mc2::closest_to_mean;
 
 template <typename T>
 int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,

@@ -10,6 +10,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cassert>
 #include <cstring>
 #include <type_traits>
 #include <vector>
@@ -961,7 +962,14 @@ int64_t closest_to_mean_presummed(const PointsView<T>& v,
                                   std::vector<double>* top_buf,
                                   bool allow_parallel = false) {
     int64_t dim = v.dim;
-    if ((int64_t)top_buf->size() < 2 * dim) top_buf->resize(2 * dim);
+    if ((int64_t)top_buf->size() < 2 * dim) {
+        // a resize would invalidate `sum` if it aliases the buffer (the
+        // closest_to_mean wrapper passes sum = top_buf->data()); callers
+        // that alias must pre-size to >= 2 * dim
+        assert(sum < top_buf->data() ||
+               sum >= top_buf->data() + top_buf->size());
+        top_buf->resize(2 * dim);
+    }
     double* top = top_buf->data();
     double* rt = top + dim;
     double n = (double)members.size();
@@ -982,14 +990,21 @@ int64_t closest_to_mean_presummed(const PointsView<T>& v,
         return 10000.0 * (1.0 - frac * frac);
     };
     if (allow_parallel && nm >= 64 && nm * dim >= ((int64_t)1 << 16)) {
-        std::vector<double> d(nm);
+        // thread-local scratch: re-centering runs once per accumulate
+        // round, so a fresh heap allocation per call showed up at large
+        // cluster sizes (ADVICE r2).  The raw pointer is hoisted BEFORE
+        // the parallel region: `d` is thread_local, so naming it inside
+        // the omp loop would resolve to each worker's own (empty) vector.
+        static thread_local std::vector<double> d;
+        d.resize(nm);
+        double* dp = d.data();
 #pragma omp parallel for schedule(static)
-        for (int64_t k = 0; k < nm; k++) d[k] = dist_of(members[k]);
-        double best = d[0];
+        for (int64_t k = 0; k < nm; k++) dp[k] = dist_of(members[k]);
+        double best = dp[0];
         int64_t best_row = members[0];
         for (int64_t k = 1; k < nm; k++)
-            if (d[k] < best) {
-                best = d[k];
+            if (dp[k] < best) {
+                best = dp[k];
                 best_row = members[k];
             }
         return best_row;

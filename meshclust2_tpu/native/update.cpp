@@ -311,7 +311,10 @@ void mean_shift_update_pass(const PointsView<T>& v, const ModelSpec& m,
     double tc0 = g_prof.on ? UpdateProf::now() : 0;
 #pragma omp parallel
     {
-        std::vector<double> top_buf(v.dim);
+        // 2 * dim: closest_to_mean_presummed's contract (mean + rounded
+        // mean planes) — sized up front so the OpenMP region never
+        // lazily resizes through the wrapper's guard
+        std::vector<double> top_buf(2 * v.dim);
 #pragma omp for schedule(dynamic, 4)
         for (int64_t t = 0; t < (int64_t)todo.size(); t++) {
             int64_t j = todo[t];
