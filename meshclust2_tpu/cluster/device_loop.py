@@ -80,6 +80,63 @@ DEFAULT_TIE_MARGIN = float(os.environ.get("MC2_DD_TIE_MARGIN", "1e-10"))
 _WC = 2048  # scan chunk rows (static shape inside the loop)
 
 
+def _shape_bucket(x: int, floor: int = 1024) -> int:
+    """Smallest of {2^a, 3*2^(a-1)} >= x (>= floor).  Padded program shapes
+    are bucketed so the XLA compile cache hits across datasets of similar
+    size instead of recompiling per exact n."""
+    if x <= floor:
+        return floor
+    p = 1 << (x - 1).bit_length()
+    c = (3 * p) // 4
+    return c if c >= x else p
+
+
+# which integer pair statistics each single consumes; unused stats are
+# replaced by zeros so XLA dead-code-eliminates their computation (the tie
+# signatures then compare equal on those slots, which is sound: the dd
+# value depends only on the used stats)
+_NEED_SUMMIN = frozenset({F.FEAT_MANHATTAN, F.FEAT_INTERSECTION,
+                          F.FEAT_KULCZYNSKI2})
+_NEED_DOT = frozenset({F.FEAT_EUCLIDEAN, F.FEAT_SIMRATIO,
+                       F.FEAT_NORMALIZED_VECTORS, F.FEAT_PEARSON_COEFF,
+                       F.FEAT_D2z, F.FEAT_EUCLIDEAN_Z})
+
+
+def stat_needs(singles) -> Tuple[bool, bool, bool]:
+    s = set(singles)
+    return (bool(s & _NEED_SUMMIN), bool(s & _NEED_DOT), F.FEAT_EMD in s)
+
+
+def emd_rowsum(jax, jnp, diff_i32, d: int):
+    """sum_j |prefix_j(diff)| per row as int64, via blocked triangular
+    matmuls on the MXU (the same decomposition as ops/pallas_stats.py's
+    kernel).  jnp.cumsum lowers to a log-depth shift/add chain on TPU —
+    ~10 full passes over the block, which dominated the scan step — while
+    D/128 [WC,128]x[128,128] matmuls are near-free on the MXU.  float32 is
+    exact throughout (|prefix| <= pseudo-magnitude < 2^24, envelope_check);
+    Precision.HIGHEST keeps wide-count diffs exact on the MXU's bf16 passes.
+    Per-block |prefix| sums stay < 128 * 2^24 < 2^31 (int32-exact); the
+    running total accumulates in int64, so the EMD stat cannot wrap for any
+    in-envelope input (the old int32 total could overflow at d * 2^24)."""
+    wc = diff_i32.shape[0]
+    blk = 128 if d % 128 == 0 and d >= 128 else d
+    tri = np.triu(np.ones((blk, blk), np.float32))
+    diff = diff_i32.astype(jnp.float32)
+    emd = jnp.zeros((wc,), jnp.int64)
+    carry = jnp.zeros((wc, 1), jnp.float32)
+    for b in range(d // blk):
+        pref = jax.lax.dot_general(
+            diff[:, b * blk:(b + 1) * blk], tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) + carry
+        emd = emd + jnp.abs(pref).astype(jnp.int32).sum(
+            axis=1, dtype=jnp.int32).astype(jnp.int64)
+        carry = pref[:, -1:]
+    return emd
+
+
 class DeviceLoopUnsupported(Exception):
     pass
 
@@ -407,13 +464,21 @@ class DeviceAccumulator:
         fbin0, _ = _index_of_vec(bounds, blen)
         _, bbin0 = _index_of_vec(bounds, elen)
 
-        pad = _WC + 8
-        npad = n + pad
+        # bucketed padded shapes: the compiled program depends only on
+        # (npad, nb_pad, D, dtype, model), so nearby dataset sizes reuse the
+        # XLA compile cache; n itself is a runtime scalar argument
+        npad = _shape_bucket(n + _WC + 8)
+        nb_pad = _shape_bucket(nb, floor=8)
 
         def padded(a, fill, dtype):
             out = np.full(npad, fill, dtype=dtype)
             out[:n] = a
             return out
+
+        # trailing empty bins: bin_start pads with n (zero-size bins past
+        # the last real bin never match any alive row)
+        bin_start_pad = np.full(nb_pad + 1, n, dtype=np.int32)
+        bin_start_pad[: nb + 1] = bin_start
 
         host = {
             "order": order,
@@ -424,14 +489,16 @@ class DeviceAccumulator:
         dev = {
             "counts": np.zeros((npad, ps.counts.shape[1]), dtype=ps.counts.dtype),
             "lens": padded(lens, np.iinfo(np.int32).max, np.int32),
-            "bin_ids": padded(bin_ids, nb, np.int32),
+            "bin_ids": padded(bin_ids, nb_pad, np.int32),
             "blen": padded(blen, 0, np.int32),
             "elen": padded(elen, 0, np.int32),
             "fbin0": padded(fbin0, 0, np.int32),
             "bbin0": padded(bbin0, 0, np.int32),
             "mags": padded(ps.mags[order], 0, np.int32),
             "selfdot": padded(self._self_dots[order], 0, np.int32),
-            "bin_start": bin_start,
+            "bin_start": bin_start_pad,
+            "n": np.int32(n),
+            "maxc": np.int64(int(ps.counts.max()) if ps.n else 0),
         }
         dev["counts"][:n] = ps.counts[order]
         sh, sl = DD.split_f64(ps.stddevs[order])
@@ -451,11 +518,16 @@ class DeviceAccumulator:
     # -- the device program ----------------------------------------------------
 
     def _build_program(self, host, dev):
+        """Returns a jitted program taking the `dev` array dict as its ONE
+        argument.  The arrays must be arguments, not closure captures: a
+        captured 10 MB counts array gets inlined into the HLO as a literal
+        (measured: 26 MB HLO text, 419 s cold TPU compile, 8.5 s cache
+        load), while as parameters the program is a few hundred KB and its
+        cache key depends only on the bucketed shapes + model constants."""
         import jax
         import jax.numpy as jnp
 
-        n = host["n"]
-        nb = host["nb"]
+        nb = len(dev["bin_start"]) - 1          # bucketed bin count
         npad = len(dev["lens"])
         D = dev["counts"].shape[1]
         WC = _WC
@@ -464,10 +536,10 @@ class DeviceAccumulator:
         edge_dd = DD.dd(*(np.float32(x) for x in
                           DD.split_f64(np.float64(self.pack.pos_edge))))
         edge_scale = np.float32(max(abs(self.pack.pos_edge), 1.0))
-        maxc = np.int64(int(self.ps.counts.max()) if self.ps.n else 0)
+        need_summin, need_dot, need_emd = stat_needs(self.pack.singles)
         NONE = jnp.int32(npad)
 
-        C = {k: jnp.asarray(v) for k, v in dev.items()}
+        C = None  # bound to the traced argument dict by program()
 
         class Carry(NamedTuple):
             alive: jnp.ndarray       # [npad] bool
@@ -516,7 +588,7 @@ class DeviceAccumulator:
                 mcnt: jnp.ndarray
                 pmask: jnp.ndarray       # [npad] bool positives
 
-            zero_sig = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            zero_sig = (jnp.int32(0), jnp.int32(0), jnp.int64(0),
                         jnp.int32(0), jnp.int32(0), jnp.int32(0),
                         jnp.float32(0), jnp.float32(0))
 
@@ -535,10 +607,12 @@ class DeviceAccumulator:
 
                 blk = jax.lax.dynamic_slice(
                     C["counts"], (start_c, jnp.int32(0)), (WC, D)).astype(jnp.int32)
-                summin = jnp.minimum(blk, cc[None, :]).sum(axis=1, dtype=jnp.int32)
-                dot = (blk * cc[None, :]).sum(axis=1, dtype=jnp.int32)
-                pref = jnp.cumsum((blk - cc[None, :]).astype(jnp.float32), axis=1)
-                emd = jnp.abs(pref).astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+                summin = (jnp.minimum(blk, cc[None, :]).sum(axis=1, dtype=jnp.int32)
+                          if need_summin else jnp.zeros((WC,), jnp.int32))
+                dot = ((blk * cc[None, :]).sum(axis=1, dtype=jnp.int32)
+                       if need_dot else jnp.zeros((WC,), jnp.int32))
+                emd = (emd_rowsum(jax, jnp, blk - cc[None, :], D)
+                       if need_emd else jnp.zeros((WC,), jnp.int64))
 
                 b_side = {
                     "mags": jax.lax.dynamic_slice(C["mags"], (start_c,), (WC,)),
@@ -660,7 +734,7 @@ class DeviceAccumulator:
             g1 = (half_lhs != 0) & (half_lhs <= tol_half)
             tol_f = ((q + 2) * den) >> 52
             g2 = (rem != 0) & (rem <= tol_f)
-            tol_c = ((q + maxc + 2) * den) >> 52
+            tol_c = ((q + C["maxc"] + 2) * den) >> 52
             g3 = (rem != 0) & ((den - rem) <= tol_c)
             unc_bins = (g1 | g2 | g3).any()
 
@@ -854,29 +928,33 @@ class DeviceAccumulator:
             )
             return st._replace(iters=st.iters + 1)
 
-        max_iters = 2 * n + 16
+        def program(Carg):
+            nonlocal C
+            C = Carg  # all helper closures resolve C to the traced argument
+            n_s = C["n"]
+            max_iters = 2 * n_s.astype(jnp.int32) + 16
 
-        def cond(st: Carry):
-            return (~st.done) & (st.iters < max_iters)
+            def cond(st: Carry):
+                return (~st.done) & (st.iters < max_iters)
 
-        def program():
-            alive = jnp.zeros(npad, jnp.bool_).at[:n].set(True)
+            alive = jnp.arange(npad, dtype=jnp.int32) < n_s
             alive = alive.at[0].set(False)  # first pop
-            assign = jnp.full(npad, -1, jnp.int32).at[0].set(0)
+            assign = jnp.full(npad, -1, jnp.int32).at[0].set(
+                jnp.where(n_s > 0, 0, -1))
             astep = jnp.zeros(npad, jnp.int32)
             st = Carry(
                 alive=alive, assign=assign, astep=astep,
-                centers=jnp.zeros(n + 1, jnp.int32),
+                centers=jnp.zeros(npad, jnp.int32),
                 cid=jnp.int32(0), stepc=jnp.int32(1), cur=jnp.int32(0),
                 msum=row_i32(jnp.int32(0)).astype(jnp.int64),
                 mcnt=jnp.int32(1),
                 env_lo=jnp.int32(0), env_hi=jnp.int32(1),
-                done=jnp.bool_(n == 0), abort=jnp.int32(0),
+                done=n_s == 0, abort=jnp.int32(0),
                 iters=jnp.int32(0),
             )
             st = jax.lax.while_loop(cond, body, st)
-            return (st.abort, st.cid, st.cur, st.alive[:n], st.assign[:n],
-                    st.astep[:n], st.centers, st.iters)
+            return (st.abort, st.cid, st.cur, st.alive, st.assign,
+                    st.astep, st.centers, st.iters)
 
         return jax.jit(program)
 
@@ -897,9 +975,12 @@ class DeviceAccumulator:
         host, dev = self._prepare(bv)
         t1 = time.time()
         prog = self._build_program(host, dev)
-        compiled = prog.lower().compile()
+        import jax.numpy as jnp
+
+        Cdev = {k: jnp.asarray(v) for k, v in dev.items()}
+        compiled = prog.lower(Cdev).compile()
         t2 = time.time()
-        res = compiled()
+        res = compiled(Cdev)
         abort, cid, cur, alive, assign, astep, centers, iters = (
             np.asarray(x) for x in res)
         t3 = time.time()
@@ -908,6 +989,7 @@ class DeviceAccumulator:
                   f"compile {t2 - t1:.2f}s, execute {t3 - t2:.2f}s, "
                   f"{int(iters)} steps")
         n = host["n"]
+        alive, assign, astep = alive[:n], assign[:n], astep[:n]
         order = host["order"]
         n_it = int(iters)
         if n_it >= 2 * n + 16:

@@ -42,11 +42,16 @@ from .device_loop import (
     DeviceLoopUnsupported,
     _pack_model,
     derive_singles_dd,
+    emd_rowsum,
     envelope_check,
     epilogue_dd,
+    stat_needs,
 )
 
-_PAIR_BUCKETS = [1 << b for b in range(10, 22)]
+# coarse (4x-stepped) buckets: every distinct bucket size costs a jit
+# trace + compile-cache load through the tunnel (~1s), which at the observed
+# call sizes dwarfs the padded-execute cost of a 4x-wide bucket
+_PAIR_BUCKETS = [1 << b for b in range(10, 22, 2)]
 
 
 def _bucket(n: int) -> int:
@@ -87,6 +92,12 @@ class DeviceUpdater:
         sh, sl = DD.split_f64(ps.stddevs)
         self.std_h = jnp.asarray(sh)
         self.std_l = jnp.asarray(sl)
+        # per-point arrays are jit ARGUMENTS, never closure captures: a
+        # captured counts array is inlined into the HLO as a multi-MB
+        # literal, exploding compile time per pair-count bucket (see
+        # device_loop._build_program)
+        self._arrs = (self.counts, self.mags, self.selfdot, self.lens,
+                      self.std_h, self.std_l)
 
         self._score_jit = jax.jit(self._score_impl)
         self._closest_jit = {}
@@ -97,28 +108,48 @@ class DeviceUpdater:
 
         self.scored_pairs = 0
         self.rechecked_pairs = 0
+        # MC2_DEVICE_PROF accounting
+        self.t_score = 0.0
+        self.t_closest = 0.0
+        self.n_score = 0
+        self.n_closest = 0
+
+    def prof_line(self) -> str:
+        return (f"device update: score {self.t_score:.2f}s/{self.n_score} "
+                f"calls, closest {self.t_closest:.2f}s/{self.n_closest} "
+                f"calls, {self.scored_pairs} pairs "
+                f"({self.rechecked_pairs} host-rechecked)")
 
     # -- pair scoring -----------------------------------------------------------
 
-    def _side(self, idx):
+    @staticmethod
+    def _arr_side(mags, selfdot, std_h, std_l, lens, idx):
         return {
-            "mags": self.mags[idx],
-            "selfdot": self.selfdot[idx],
-            "std": (self.std_h[idx], self.std_l[idx]),
-            "lens": self.lens[idx],
+            "mags": mags[idx],
+            "selfdot": selfdot[idx],
+            "std": (std_h[idx], std_l[idx]),
+            "lens": lens[idx],
         }
 
-    def _score_impl(self, a_idx, b_idx):
+    def _score_impl(self, counts, mags, selfdot, lens, std_h, std_l,
+                    a_idx, b_idx):
+        import jax
         jnp = self.jnp
-        A = self.counts[a_idx].astype(jnp.int32)
-        B = self.counts[b_idx].astype(jnp.int32)
-        summin = jnp.minimum(A, B).sum(axis=1, dtype=jnp.int32)
-        dot = (A * B).sum(axis=1, dtype=jnp.int32)
-        pref = jnp.cumsum((A - B).astype(jnp.float32), axis=1)
-        emd = jnp.abs(pref).astype(jnp.int32).sum(axis=1, dtype=jnp.int32)
+        A = counts[a_idx].astype(jnp.int32)
+        B = counts[b_idx].astype(jnp.int32)
+        nsm, ndot, nemd = stat_needs(self.pack.singles)
+        W = A.shape[0]
+        summin = (jnp.minimum(A, B).sum(axis=1, dtype=jnp.int32)
+                  if nsm else jnp.zeros((W,), jnp.int32))
+        dot = ((A * B).sum(axis=1, dtype=jnp.int32)
+               if ndot else jnp.zeros((W,), jnp.int32))
+        emd = (emd_rowsum(jax, jnp, A - B, self.d)
+               if nemd else jnp.zeros((W,), jnp.int64))
         stats = {"summin": summin, "dot": dot, "emd": emd}
-        singles = derive_singles_dd(self.pack, self.d, jnp, stats,
-                                    self._side(a_idx), self._side(b_idx))
+        singles = derive_singles_dd(
+            self.pack, self.d, jnp, stats,
+            self._arr_side(mags, selfdot, std_h, std_l, lens, a_idx),
+            self._arr_side(mags, selfdot, std_h, std_l, lens, b_idx))
         s_dd, dist_dd, s_err, dist_err = epilogue_dd(self.pack, singles)
         return s_dd[0], s_dd[1], dist_dd[0], dist_dd[1], s_err, dist_err
 
@@ -148,18 +179,26 @@ class DeviceUpdater:
             self.last_derr = np.concatenate(derrs)
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
+        import time as _time
+
+        t0 = _time.time()
         m = _bucket(n)
         ap = np.zeros(m, np.int32)
         bp = np.zeros(m, np.int32)
         ap[:n] = a_rows
         bp[:n] = b_rows
-        sh, sl, dh, dl, serr, derr = self._score_jit(
-            jnp.asarray(ap), jnp.asarray(bp))
+        res = self._score_jit(*self._arrs, jnp.asarray(ap), jnp.asarray(bp))
         self.scored_pairs += n
-        s = np.asarray(sh, np.float64)[:n] + np.asarray(sl, np.float64)[:n]
-        dist = np.asarray(dh, np.float64)[:n] + np.asarray(dl, np.float64)[:n]
-        self.last_serr = np.asarray(serr, np.float64)[:n]
-        self.last_derr = np.asarray(derr, np.float64)[:n]
+        # ONE device->host transfer for all six result arrays: each separate
+        # np.asarray is its own blocking round trip through the tunnel
+        sh, sl, dh, dl, serr, derr = (
+            np.asarray(x) for x in self.jax.device_get(res))
+        s = sh.astype(np.float64)[:n] + sl.astype(np.float64)[:n]
+        dist = dh.astype(np.float64)[:n] + dl.astype(np.float64)[:n]
+        self.last_serr = serr.astype(np.float64)[:n]
+        self.last_derr = derr.astype(np.float64)[:n]
+        self.t_score += _time.time() - t0
+        self.n_score += 1
         return s, dist
 
     def _band_decide(self, s: np.ndarray, band) -> Tuple[np.ndarray, np.ndarray]:
@@ -246,10 +285,10 @@ class DeviceUpdater:
         D = self.d
         maxc = np.int64(self.maxc)
 
-        def impl(rows, seg, valid):
+        def impl(counts, mags, rows, seg, valid):
             cnt = jax.ops.segment_sum(valid.astype(jnp.int64), seg,
                                       num_segments=C)
-            blk = self.counts[rows].astype(jnp.int64)
+            blk = counts[rows].astype(jnp.int64)
             blk = jnp.where(valid[:, None], blk, 0)
             num = jax.ops.segment_sum(blk, seg, num_segments=C)
             den = jnp.maximum(cnt, 1)[:, None]
@@ -271,9 +310,9 @@ class DeviceUpdater:
             g3 = (rem != 0) & ((den - rem) <= tol_c)
             seg_unc = (g1 | g2 | g3).any(axis=1)
 
-            blk32 = self.counts[rows].astype(jnp.int32)
+            blk32 = counts[rows].astype(jnp.int32)
             dist2 = 2 * jnp.minimum(blk32, r[seg]).sum(axis=1, dtype=jnp.int32)
-            mag = self.mags[rows].astype(jnp.int64) + s_floor[seg]
+            mag = mags[rows].astype(jnp.int64) + s_floor[seg]
             frac = DD.dd_div(DD.dd_from_i64(dist2.astype(jnp.int64)),
                              DD.dd_from_i64(mag))
             f2 = DD.dd_mul(frac, frac)
@@ -329,6 +368,9 @@ class DeviceUpdater:
             f2 = np.where(f2 < (P - cut), f2 + cut, P)
             f1 = np.where(f1 < cut, f1, P)
             return np.concatenate([f1, f2]), np.concatenate([u1, u2])
+        import time as _time
+
+        t0 = _time.time()
         Pb = _bucket(P)
         Cb = _bucket(max(C, 1))
         key = (Pb, Cb)
@@ -340,8 +382,12 @@ class DeviceUpdater:
         rp[:P] = rows
         sp[:P] = seg
         vp[:P] = True
-        first, unc = self._closest_jit[key](jnp.asarray(rp), jnp.asarray(sp),
-                                            jnp.asarray(vp))
+        first, unc = self.jax.device_get(
+            self._closest_jit[key](self.counts, self.mags,
+                                   jnp.asarray(rp), jnp.asarray(sp),
+                                   jnp.asarray(vp)))
         first = np.asarray(first)[:C]
         first = np.where(first >= P, P, first)
+        self.t_closest += _time.time() - t0
+        self.n_closest += 1
         return first.astype(np.int64), np.asarray(unc)[:C]

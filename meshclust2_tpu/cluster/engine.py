@@ -682,6 +682,11 @@ class MeanShiftEngine:
             new_centers = self._batched_mean_shift_update(clusters, 0)
             for c, nc in zip(clusters, new_centers):
                 c.center_row = nc
+            import os as _os
+
+            updater = self._get_device_updater()
+            if updater is not None and _os.environ.get("MC2_DEVICE_PROF"):
+                print(updater.prof_line())
         finally:
             # pairs_scored = pairs that actually reached the wrapped scorer
             # (same semantics as the accumulate phase's cache-miss counting)

@@ -74,6 +74,9 @@ def _split(a):
     return hi, a - hi
 
 
+_USE_F64_WIDENING: bool | None = None
+
+
 def _use_f64_widening() -> bool:
     """XLA:CPU drops optimization_barrier and rematerializes cheap
     multiplies into consumer fusions, where LLVM contracts mul+add into
@@ -83,13 +86,21 @@ def _use_f64_widening() -> bool:
     error is instead computed by exact f64 widening: the returned p is a
     CONVERT node, which no consumer can contract with.  TPU float64 is
     low-precision emulation, so the TPU path keeps the Dekker split (its
-    exactness on-chip is asserted by the MC2_REAL_TPU test job)."""
-    import jax
+    exactness on-chip is asserted by the MC2_REAL_TPU test job).
 
-    try:
-        return jax.devices()[0].platform == "cpu"
-    except Exception:  # pragma: no cover - backend init failures
-        return False
+    The answer is cached: two_prod runs once per dd op during TRACING, and
+    on the tunneled-TPU platform every jax.devices() call is a slow RPC —
+    uncached, tracing the device programs took minutes of wall clock
+    (measured 35-400 s lower() variance, all of it devices() pings)."""
+    global _USE_F64_WIDENING
+    if _USE_F64_WIDENING is None:
+        import jax
+
+        try:
+            _USE_F64_WIDENING = jax.devices()[0].platform == "cpu"
+        except Exception:  # pragma: no cover - backend init failures
+            return False
+    return _USE_F64_WIDENING
 
 
 def two_prod(a, b):
