@@ -122,8 +122,10 @@ def emd_rowsum(jax, jnp, diff_i32, d: int):
     blk = 128 if d % 128 == 0 and d >= 128 else d
     tri = np.triu(np.ones((blk, blk), np.float32))
     diff = diff_i32.astype(jnp.float32)
-    emd = jnp.zeros((wc,), jnp.int64)
-    carry = jnp.zeros((wc, 1), jnp.float32)
+    # np literals, not jnp: trace-time jnp arrays become device-resident
+    # jaxpr constants that MLIR lowering fetches back over the tunnel
+    emd = np.zeros((wc,), np.int64)
+    carry = np.zeros((wc, 1), np.float32)
     for b in range(d // blk):
         pref = jax.lax.dot_general(
             diff[:, b * blk:(b + 1) * blk], tri,
@@ -427,7 +429,8 @@ class DeviceAccumulator:
 
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
                  margin: float = DEFAULT_MARGIN,
-                 tie_margin: float = DEFAULT_TIE_MARGIN):
+                 tie_margin: float = DEFAULT_TIE_MARGIN,
+                 shared_counts=None):
         self.ps = ps
         self.model = model
         self.sim = float(sim)
@@ -438,6 +441,12 @@ class DeviceAccumulator:
         self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
             if margin > DEFAULT_MARGIN else float(tie_margin)
         self.pack = _pack_model(model)
+        # counts already resident on the device in natural row order (the
+        # DeviceUpdater's upload): the program then permutes on device from
+        # a 64 KB order vector instead of re-uploading the multi-MB flat
+        # array through the tunnel (upload bandwidth fluctuates wildly;
+        # a second counts upload was the execute-time variance)
+        self.shared_counts = shared_counts
 
         self._self_dots = envelope_check(ps)
         self._d = ps.dim
@@ -486,8 +495,17 @@ class DeviceAccumulator:
             "nb": nb,
             "bin_start": bin_start,
         }
+        if self.shared_counts is not None:
+            order_pad = np.zeros(npad, dtype=np.int32)
+            order_pad[:n] = order
+            counts_entry = {"counts_nat": self.shared_counts,
+                            "order_pad": order_pad}
+        else:
+            flat = np.zeros((npad, ps.counts.shape[1]), dtype=ps.counts.dtype)
+            flat[:n] = ps.counts[order]
+            counts_entry = {"counts": flat}
         dev = {
-            "counts": np.zeros((npad, ps.counts.shape[1]), dtype=ps.counts.dtype),
+            **counts_entry,
             "lens": padded(lens, np.iinfo(np.int32).max, np.int32),
             "bin_ids": padded(bin_ids, nb_pad, np.int32),
             "blen": padded(blen, 0, np.int32),
@@ -500,7 +518,6 @@ class DeviceAccumulator:
             "n": np.int32(n),
             "maxc": np.int64(int(ps.counts.max()) if ps.n else 0),
         }
-        dev["counts"][:n] = ps.counts[order]
         sh, sl = DD.split_f64(ps.stddevs[order])
         dev["std_h"] = padded(sh, 1.0, np.float32)
         dev["std_l"] = padded(sl, 0.0, np.float32)
@@ -529,7 +546,8 @@ class DeviceAccumulator:
 
         nb = len(dev["bin_start"]) - 1          # bucketed bin count
         npad = len(dev["lens"])
-        D = dev["counts"].shape[1]
+        D = (dev["counts_nat"] if "counts_nat" in dev
+             else dev["counts"]).shape[1]
         WC = _WC
         margin = np.float32(self.margin)
         tie_margin = np.float32(self.tie_margin)
@@ -537,7 +555,7 @@ class DeviceAccumulator:
                           DD.split_f64(np.float64(self.pack.pos_edge))))
         edge_scale = np.float32(max(abs(self.pack.pos_edge), 1.0))
         need_summin, need_dot, need_emd = stat_needs(self.pack.singles)
-        NONE = jnp.int32(npad)
+        NONE = np.int32(npad)
 
         C = None  # bound to the traced argument dict by program()
 
@@ -558,7 +576,7 @@ class DeviceAccumulator:
             iters: jnp.ndarray       # int32 safety counter
 
         def row_i32(p):
-            return jax.lax.dynamic_slice(C["counts"], (p, jnp.int32(0)), (1, D))[0].astype(jnp.int32)
+            return jax.lax.dynamic_slice(C["counts"], (p, np.int32(0)), (1, D))[0].astype(jnp.int32)
 
         def side_consts(p):
             return {
@@ -573,7 +591,7 @@ class DeviceAccumulator:
             """Chunked window scan: classifier + dist argmax + absorb prep."""
             cc = row_i32(st.cur)
             c_side = side_consts(st.cur)
-            neg_inf = jnp.float32(-np.inf)
+            neg_inf = np.float32(-np.inf)
 
             class SC(NamedTuple):
                 j: jnp.ndarray
@@ -588,16 +606,16 @@ class DeviceAccumulator:
                 mcnt: jnp.ndarray
                 pmask: jnp.ndarray       # [npad] bool positives
 
-            zero_sig = (jnp.int32(0), jnp.int32(0), jnp.int64(0),
-                        jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                        jnp.float32(0), jnp.float32(0))
+            zero_sig = (np.int32(0), np.int32(0), np.int64(0),
+                        np.int32(0), np.int32(0), np.int32(0),
+                        np.float32(0), np.float32(0))
 
             nchunks = jnp.where(p_hi > p_lo, (p_hi - p_lo + WC - 1) // WC, 0)
 
             def chunk_body(sc: SC):
                 start = p_lo + sc.j * WC
-                start_c = jnp.minimum(start, jnp.int32(npad - WC))
-                offs = start_c + jnp.arange(WC, dtype=jnp.int32)
+                start_c = jnp.minimum(start, np.int32(npad - WC))
+                offs = start_c + np.arange(WC, dtype=np.int32)
                 in_rng = (offs >= start) & (offs < p_hi)
                 aliv = jax.lax.dynamic_slice(st.alive, (start_c,), (WC,))
                 rk = jax.lax.dynamic_slice(rank, (start_c,), (WC,))
@@ -606,13 +624,13 @@ class DeviceAccumulator:
                 pass_m = msk & (ll >= blen_c) & (ll <= elen_c)
 
                 blk = jax.lax.dynamic_slice(
-                    C["counts"], (start_c, jnp.int32(0)), (WC, D)).astype(jnp.int32)
+                    C["counts"], (start_c, np.int32(0)), (WC, D)).astype(jnp.int32)
                 summin = (jnp.minimum(blk, cc[None, :]).sum(axis=1, dtype=jnp.int32)
-                          if need_summin else jnp.zeros((WC,), jnp.int32))
+                          if need_summin else np.zeros((WC,), np.int32))
                 dot = ((blk * cc[None, :]).sum(axis=1, dtype=jnp.int32)
-                       if need_dot else jnp.zeros((WC,), jnp.int32))
+                       if need_dot else np.zeros((WC,), np.int32))
                 emd = (emd_rowsum(jax, jnp, blk - cc[None, :], D)
-                       if need_emd else jnp.zeros((WC,), jnp.int64))
+                       if need_emd else np.zeros((WC,), np.int64))
 
                 b_side = {
                     "mags": jax.lax.dynamic_slice(C["mags"], (start_c,), (WC,)),
@@ -658,7 +676,7 @@ class DeviceAccumulator:
                 for x, bx in zip(sig, bsig):
                     sig_eq_best &= (x == bx)
                 vexact_eq = (vh == vh[first_i]) & (vl == vl[first_i])
-                scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
+                scale = jnp.maximum(jnp.abs(mh), np.float32(1.0))
                 tie_thr = jnp.maximum(8 * (dist_err + dist_err[first_i]),
                                       tie_margin * scale)
                 near = pass_m & (jnp.abs((vh - vh[first_i]) + (vl - vl[first_i]))
@@ -673,13 +691,13 @@ class DeviceAccumulator:
                     ((vh[first_i] == sc.bh) & (vl[first_i] > sc.bl))
                 leq = (vh[first_i] == sc.bh) & (vl[first_i] == sc.bl)
                 better = chunk_any & (~carry_valid | lgt)
-                sig_eq_carry = jnp.bool_(True)
+                sig_eq_carry = np.bool_(True)
                 for bx, cx in zip(bsig, sc.bsig):
                     sig_eq_carry &= (bx == cx)
                 dapx = (vh[first_i] + vl[first_i]) - (sc.bh + sc.bl)
                 cross_thr = jnp.maximum(
                     8 * (dist_err[first_i] + sc.berr),
-                    tie_margin * jnp.maximum(jnp.abs(sc.bh), jnp.float32(1.0)))
+                    tie_margin * jnp.maximum(jnp.abs(sc.bh), np.float32(1.0)))
                 cross_near = chunk_any & carry_valid & (jnp.abs(dapx) <= cross_thr)
                 unc_cross = cross_near & ~(leq & sig_eq_carry)
                 nbh = jnp.where(better, vh[first_i], sc.bh)
@@ -706,11 +724,11 @@ class DeviceAccumulator:
                 )
 
             init = SC(
-                j=jnp.int32(0), bh=neg_inf, bl=neg_inf,
-                berr=jnp.float32(0.0), bpos=NONE,
-                bsig=zero_sig, any_pos=jnp.bool_(False), uncert=jnp.bool_(False),
-                msum=jnp.zeros(D, jnp.int64), mcnt=jnp.int32(0),
-                pmask=jnp.zeros(npad, jnp.bool_),
+                j=np.int32(0), bh=neg_inf, bl=neg_inf,
+                berr=np.float32(0.0), bpos=NONE,
+                bsig=zero_sig, any_pos=np.bool_(False), uncert=np.bool_(False),
+                msum=np.zeros(D, np.int64), mcnt=np.int32(0),
+                pmask=np.zeros(npad, bool),
             )
             sc = jax.lax.while_loop(lambda s: s.j < nchunks, chunk_body, init)
             return sc
@@ -738,8 +756,8 @@ class DeviceAccumulator:
             g3 = (rem != 0) & ((den - rem) <= tol_c)
             unc_bins = (g1 | g2 | g3).any()
 
-            neg_inf = jnp.float32(-np.inf)
-            pos_inf = jnp.float32(np.inf)
+            neg_inf = np.float32(-np.inf)
+            pos_inf = np.float32(np.inf)
 
             class MC(NamedTuple):
                 j: jnp.ndarray
@@ -753,14 +771,14 @@ class DeviceAccumulator:
 
             def chunk_body(mc: MC):
                 start = env_lo + mc.j * WC
-                start_c = jnp.minimum(start, jnp.int32(npad - WC))
-                offs = start_c + jnp.arange(WC, dtype=jnp.int32)
+                start_c = jnp.minimum(start, np.int32(npad - WC))
+                offs = start_c + np.arange(WC, dtype=np.int32)
                 in_rng = (offs >= start) & (offs < env_hi)
                 asg = jax.lax.dynamic_slice(st.assign, (start_c,), (WC,))
                 stp = jax.lax.dynamic_slice(st.astep, (start_c,), (WC,))
                 memb = in_rng & (asg == st.cid)
                 blk = jax.lax.dynamic_slice(
-                    C["counts"], (start_c, jnp.int32(0)), (WC, D)).astype(jnp.int32)
+                    C["counts"], (start_c, np.int32(0)), (WC, D)).astype(jnp.int32)
                 dist2 = 2 * jnp.minimum(blk, r[None, :]).sum(axis=1, dtype=jnp.int32)
                 mags = jax.lax.dynamic_slice(C["mags"], (start_c,), (WC,))
                 mag = mags.astype(jnp.int64) + s_floor
@@ -768,7 +786,7 @@ class DeviceAccumulator:
                 frac = DD.dd_div(DD.dd_from_i64(dist2.astype(jnp.int64)),
                                  DD.dd_from_i64(mag))
                 f2 = DD.dd_mul(frac, frac)
-                one = (jnp.float32(1.0), jnp.float32(0.0))
+                one = (np.float32(1.0), np.float32(0.0))
                 u = DD.dd_sub(one, f2)
                 vh_, vl_ = u[0] * np.float32(10000.0), u[1] * np.float32(10000.0)
                 vh = jnp.where(memb, vh_, pos_inf)
@@ -787,8 +805,8 @@ class DeviceAccumulator:
                 sig_eq = memb & (dist2 == csig[0]) & (mag == csig[1])
                 # absolute floor: v = 1e4*(1-frac^2) carries ~3e-9 absolute
                 # dd error near frac ~= 1, where |v| itself goes to zero
-                scale = jnp.maximum(jnp.abs(mh), jnp.float32(1.0))
-                thr_m = jnp.maximum(tie_margin * scale, jnp.float32(1e-7))
+                scale = jnp.maximum(jnp.abs(mh), np.float32(1.0))
+                thr_m = jnp.maximum(tie_margin * scale, np.float32(1e-7))
                 near = memb & (jnp.abs((vh - mh) + (vl - ml)) <= thr_m)
                 unc_tie = (near & ~sig_eq).any() & chunk_any
 
@@ -805,8 +823,8 @@ class DeviceAccumulator:
                 cross_near = chunk_any & carry_valid & (
                     jnp.abs(dapx) <= jnp.maximum(
                         tie_margin *
-                        jnp.maximum(jnp.abs(mc.vh), jnp.float32(1.0)),
-                        jnp.float32(1e-7)))
+                        jnp.maximum(jnp.abs(mc.vh), np.float32(1.0)),
+                        np.float32(1e-7)))
                 unc_cross = cross_near & ~(leq & sig_eq_carry)
 
                 return MC(
@@ -819,10 +837,10 @@ class DeviceAccumulator:
                     uncert=mc.uncert | unc_tie | unc_cross,
                 )
 
-            init = MC(j=jnp.int32(0), vh=pos_inf, vl=pos_inf,
-                      bkey=jnp.int64(2**62),
-                      bsig=(jnp.int32(0), jnp.int64(0)),
-                      uncert=jnp.bool_(False))
+            init = MC(j=np.int32(0), vh=pos_inf, vl=pos_inf,
+                      bkey=np.int64(2**62),
+                      bsig=(np.int32(0), np.int64(0)),
+                      uncert=np.bool_(False))
             mc = jax.lax.while_loop(lambda s: s.j < nchunks, chunk_body, init)
             best_flat = (mc.bkey % np.int64(npad)).astype(jnp.int32)
             return best_flat, mc.uncert | unc_bins
@@ -835,16 +853,18 @@ class DeviceAccumulator:
             # alive rank at each bin start; bins are contiguous in flat order
             ras = jnp.concatenate([rank[C["bin_start"]][:nb], total[None]])
             bin_cnt = ras[1:] - ras[:-1]
-            idxs = jnp.where(st.alive, rank, jnp.int32(npad))
-            posr = jnp.full(npad, NONE, jnp.int32).at[idxs].set(
-                jnp.arange(npad, dtype=jnp.int32), mode="drop")
+            idxs = jnp.where(st.alive, rank, np.int32(npad))
+            # full_like on the traced lens array: a concrete jnp scatter
+            # operand would be a device constant (lowering fetches those)
+            posr = jnp.full_like(C["lens"], npad).at[idxs].set(
+                np.arange(npad, dtype=np.int32), mode="drop")
 
             blen_c = C["blen"][st.cur]
             elen_c = C["elen"][st.cur]
             nonempty = bin_cnt > 0
             any_ne = total > 0
             first_ne = jnp.argmax(nonempty).astype(jnp.int32)
-            last_ne = jnp.int32(nb - 1) - jnp.argmax(nonempty[::-1]).astype(jnp.int32)
+            last_ne = np.int32(nb - 1) - jnp.argmax(nonempty[::-1]).astype(jnp.int32)
 
             def inner(target, b0, is_front):
                 empty = bin_cnt[b0] == 0
@@ -877,7 +897,7 @@ class DeviceAccumulator:
             best_valid = sc.bpos != NONE
 
             def uncertain_case(st):
-                return st._replace(abort=jnp.int32(1), done=jnp.bool_(True))
+                return st._replace(abort=np.int32(1), done=np.bool_(True))
 
             def min_case(st: Carry):
                 centers = st.centers.at[st.cid].set(st.cur)
@@ -896,7 +916,7 @@ class DeviceAccumulator:
                 return st._replace(
                     alive=alive, assign=assign, astep=astep, centers=centers,
                     cid=new_cid, stepc=st.stepc + 1, cur=seed_row,
-                    msum=msum, mcnt=jnp.int32(1),
+                    msum=msum, mcnt=np.int32(1),
                     env_lo=seed_row, env_hi=seed_row + 1,
                     done=none_left,
                 )
@@ -915,7 +935,7 @@ class DeviceAccumulator:
                 best_flat, unc = closest_to_mean(st2, msum, mcnt, env_lo, env_hi)
                 return jax.lax.cond(
                     unc,
-                    lambda s: s._replace(abort=jnp.int32(2), done=jnp.bool_(True)),
+                    lambda s: s._replace(abort=np.int32(2), done=np.bool_(True)),
                     lambda s: s._replace(cur=best_flat),
                     st2,
                 )
@@ -930,27 +950,31 @@ class DeviceAccumulator:
 
         def program(Carg):
             nonlocal C
-            C = Carg  # all helper closures resolve C to the traced argument
+            C = dict(Carg)  # helper closures resolve C to the traced arg
+            if "counts_nat" in C:
+                # device-side permute into bvec-flat order: pad rows point
+                # at row 0 (their values are masked out before every use)
+                C["counts"] = C["counts_nat"][C["order_pad"]]
             n_s = C["n"]
             max_iters = 2 * n_s.astype(jnp.int32) + 16
 
             def cond(st: Carry):
                 return (~st.done) & (st.iters < max_iters)
 
-            alive = jnp.arange(npad, dtype=jnp.int32) < n_s
+            alive = np.arange(npad, dtype=np.int32) < n_s
             alive = alive.at[0].set(False)  # first pop
-            assign = jnp.full(npad, -1, jnp.int32).at[0].set(
+            assign = jnp.full_like(C["lens"], -1).at[0].set(
                 jnp.where(n_s > 0, 0, -1))
-            astep = jnp.zeros(npad, jnp.int32)
+            astep = jnp.zeros_like(C["lens"])
             st = Carry(
                 alive=alive, assign=assign, astep=astep,
-                centers=jnp.zeros(npad, jnp.int32),
-                cid=jnp.int32(0), stepc=jnp.int32(1), cur=jnp.int32(0),
-                msum=row_i32(jnp.int32(0)).astype(jnp.int64),
-                mcnt=jnp.int32(1),
-                env_lo=jnp.int32(0), env_hi=jnp.int32(1),
-                done=n_s == 0, abort=jnp.int32(0),
-                iters=jnp.int32(0),
+                centers=np.zeros(npad, np.int32),
+                cid=np.int32(0), stepc=np.int32(1), cur=np.int32(0),
+                msum=row_i32(np.int32(0)).astype(jnp.int64),
+                mcnt=np.int32(1),
+                env_lo=np.int32(0), env_hi=np.int32(1),
+                done=n_s == 0, abort=np.int32(0),
+                iters=np.int32(0),
             )
             st = jax.lax.while_loop(cond, body, st)
             return (st.abort, st.cid, st.cur, st.alive, st.assign,
@@ -978,7 +1002,9 @@ class DeviceAccumulator:
         import jax.numpy as jnp
 
         Cdev = {k: jnp.asarray(v) for k, v in dev.items()}
-        compiled = prog.lower(Cdev).compile()
+        lowered = prog.lower(Cdev)
+        t1b = time.time()
+        compiled = lowered.compile()
         t2 = time.time()
         res = compiled(Cdev)
         abort, cid, cur, alive, assign, astep, centers, iters = (
@@ -986,8 +1012,8 @@ class DeviceAccumulator:
         t3 = time.time()
         if profile:
             print(f"device accumulate: prepare {t1 - t0:.2f}s, "
-                  f"compile {t2 - t1:.2f}s, execute {t3 - t2:.2f}s, "
-                  f"{int(iters)} steps")
+                  f"lower {t1b - t1:.2f}s, compile {t2 - t1b:.2f}s, "
+                  f"execute {t3 - t2:.2f}s, {int(iters)} steps")
         n = host["n"]
         alive, assign, astep = alive[:n], assign[:n], astep[:n]
         order = host["order"]

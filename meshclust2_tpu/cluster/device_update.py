@@ -85,13 +85,26 @@ class DeviceUpdater:
         self.d = ps.dim
         self.maxc = int(ps.counts.max()) if ps.n else 0
 
-        self.counts = jnp.asarray(ps.counts)  # natural width
-        self.mags = jnp.asarray(ps.mags.astype(np.int32))
-        self.selfdot = jnp.asarray(self_dots.astype(np.int32))
-        self.lens = jnp.asarray(ps.lengths.astype(np.int32))
+        # rows padded to a bucketed count so every kernel's cache key (and
+        # the accumulate program reusing self.counts, device_loop) depends
+        # only on the bucket, not the exact dataset size; padding rows are
+        # never indexed
+        from .device_loop import _shape_bucket
+
+        nb = _shape_bucket(max(ps.n, 1))
+
+        def rowpad(a):
+            out = np.zeros((nb,) + a.shape[1:], dtype=a.dtype)
+            out[: ps.n] = a
+            return jnp.asarray(out)
+
+        self.counts = rowpad(ps.counts)       # natural width
+        self.mags = rowpad(ps.mags.astype(np.int32))
+        self.selfdot = rowpad(self_dots.astype(np.int32))
+        self.lens = rowpad(ps.lengths.astype(np.int32))
         sh, sl = DD.split_f64(ps.stddevs)
-        self.std_h = jnp.asarray(sh)
-        self.std_l = jnp.asarray(sl)
+        self.std_h = rowpad(sh)
+        self.std_l = rowpad(sl)
         # per-point arrays are jit ARGUMENTS, never closure captures: a
         # captured counts array is inlined into the HLO as a multi-MB
         # literal, exploding compile time per pair-count bucket (see
@@ -131,8 +144,11 @@ class DeviceUpdater:
             "lens": lens[idx],
         }
 
-    def _score_impl(self, counts, mags, selfdot, lens, std_h, std_l,
+    def _score_core(self, counts, mags, selfdot, lens, std_h, std_l,
                     a_idx, b_idx):
+        """(s_dd, dist_dd, s_err, dist_err) for pairs (a_idx[i], b_idx[i])
+        in the reference's argument order — the shared scoring trunk of
+        every update-phase kernel."""
         import jax
         jnp = self.jnp
         A = counts[a_idx].astype(jnp.int32)
@@ -140,18 +156,48 @@ class DeviceUpdater:
         nsm, ndot, nemd = stat_needs(self.pack.singles)
         W = A.shape[0]
         summin = (jnp.minimum(A, B).sum(axis=1, dtype=jnp.int32)
-                  if nsm else jnp.zeros((W,), jnp.int32))
+                  if nsm else np.zeros((W,), np.int32))
         dot = ((A * B).sum(axis=1, dtype=jnp.int32)
-               if ndot else jnp.zeros((W,), jnp.int32))
+               if ndot else np.zeros((W,), np.int32))
         emd = (emd_rowsum(jax, jnp, A - B, self.d)
-               if nemd else jnp.zeros((W,), jnp.int64))
+               if nemd else np.zeros((W,), np.int64))
         stats = {"summin": summin, "dot": dot, "emd": emd}
         singles = derive_singles_dd(
             self.pack, self.d, jnp, stats,
             self._arr_side(mags, selfdot, std_h, std_l, lens, a_idx),
             self._arr_side(mags, selfdot, std_h, std_l, lens, b_idx))
-        s_dd, dist_dd, s_err, dist_err = epilogue_dd(self.pack, singles)
+        return epilogue_dd(self.pack, singles)
+
+    def _score_impl(self, counts, mags, selfdot, lens, std_h, std_l,
+                    a_idx, b_idx):
+        s_dd, dist_dd, s_err, dist_err = self._score_core(
+            counts, mags, selfdot, lens, std_h, std_l, a_idx, b_idx)
         return s_dd[0], s_dd[1], dist_dd[0], dist_dd[1], s_err, dist_err
+
+    def _band_device(self, s_dd, s_err, band):
+        """Traced version of _band_decide: in-band and margin-uncertainty
+        masks for the dd GLM sums against [lo, hi).  Decisions agree with
+        the float64 host oracle everywhere outside the uncertainty mask
+        (the dd-vs-f64 representation difference is covered by 8*s_err)."""
+        jnp = self.jnp
+        lo, hi = band
+        inb = jnp.ones_like(s_dd[0], dtype=bool)
+        unc = jnp.zeros_like(inb)
+        for edge, ge in ((lo, True), (hi, False)):
+            if np.isfinite(edge):
+                e_dd = tuple(np.float32(x)
+                             for x in DD.split_f64(np.float64(edge)))
+                diff = DD.dd_sub(s_dd, e_dd)
+                ge_mask = (diff[0] > 0) | ((diff[0] == 0) & (diff[1] >= 0))
+                inb = inb & (ge_mask if ge else ~ge_mask)
+                thr = jnp.maximum(
+                    8 * s_err,
+                    np.float32(self.margin * max(abs(edge), 1.0)))
+                unc = unc | (jnp.abs(diff[0] + diff[1]) <= thr)
+            elif (edge == -np.inf) != ge:
+                # hi == -inf or lo == +inf: band empty
+                inb = inb & False
+        return inb, unc
 
     MAX_PAIR_CHUNK = 1 << 17
 
@@ -219,78 +265,32 @@ class DeviceUpdater:
                 inb &= False
         return inb, unc
 
-    def keep_and_dist(self, a_rows, b_rows, host_scorer):
-        """Update-filter decisions: keep = c_round(prob) != 0
-        (engine._batched_mean_shift_update).  Margin-uncertain pairs are
-        re-scored by the float64 host oracle."""
-        s, _ = self.score_sum_dist(a_rows, b_rows)
-        inb, unc = self._band_decide(s, self.band0)
-        keep = ~inb
-        idx = np.nonzero(unc)[0]
-        if len(idx):
-            self.rechecked_pairs += len(idx)
-            prob, _ = host_scorer.score(np.asarray(a_rows)[idx],
-                                        np.asarray(b_rows)[idx])
-            keep[idx] = np.floor(prob + 0.5) != 0
-        return keep
-
-    def merge_decisions(self, a_rows, b_rows, seg, host_scorer):
-        """Merge decisions: res1 = c_round(prob) == 1 plus the per-segment
-        dist argmax inputs (engine._merge_pass).  Uncertain probabilities
-        are host-rechecked; any segment whose dist ranking is ambiguous at
-        the margin gets ALL its candidate dists replaced by host values."""
-        s, dist = self.score_sum_dist(a_rows, b_rows)
-        res1, unc = self._band_decide(s, self.band1)
-        idx = np.nonzero(unc)[0]
-        if len(idx):
-            self.rechecked_pairs += len(idx)
-            prob, d2 = host_scorer.score(np.asarray(a_rows)[idx],
-                                         np.asarray(b_rows)[idx])
-            res1[idx] = np.floor(prob + 0.5) == 1
-            dist[idx] = d2
-        # per-segment near-tie detection among res1 candidates
-        if len(seg):
-            seg = np.asarray(seg)
-            order = np.arange(len(seg))
-            amb_segs = []
-            bounds = np.searchsorted(seg, np.unique(seg))
-            uniq = np.unique(seg)
-            ends = np.searchsorted(seg, uniq, side="right")
-            for u, lo_i, hi_i in zip(uniq, bounds, ends):
-                m = res1[lo_i:hi_i]
-                if m.sum() < 2:
-                    continue
-                d = dist[lo_i:hi_i][m]
-                derr = self.last_derr[lo_i:hi_i][m] if \
-                    hasattr(self, "last_derr") else np.zeros_like(d)
-                mx = d.max()
-                near = np.abs(d - mx) <= np.maximum(
-                    8 * (derr + derr.max()),
-                    self.tie_margin * max(abs(mx), 1.0))
-                if near.sum() > 1 and not np.all(d[near] == mx):
-                    amb_segs.append((lo_i, hi_i))
-            for lo_i, hi_i in amb_segs:
-                self.rechecked_pairs += hi_i - lo_i
-                prob, d2 = host_scorer.score(np.asarray(a_rows)[lo_i:hi_i],
-                                             np.asarray(b_rows)[lo_i:hi_i])
-                res1[lo_i:hi_i] = np.floor(prob + 0.5) == 1
-                dist[lo_i:hi_i] = d2
-        return res1, dist
-
     # -- closest to mean --------------------------------------------------------
 
-    def _build_closest(self, P: int, C: int):
+    def _closest_core(self, counts, mags, rows, seg, valid, C: int):
+        """Traced per-segment closest-to-mean over (rows, seg) pairs with a
+        validity mask; returns (first [C] int64 pair position with P = no
+        member, uncertain [C] bool)."""
         import jax
         jnp = self.jnp
-        D = self.d
         maxc = np.int64(self.maxc)
-
-        def impl(counts, mags, rows, seg, valid):
+        P = rows.shape[0]
+        if True:
             cnt = jax.ops.segment_sum(valid.astype(jnp.int64), seg,
                                       num_segments=C)
-            blk = counts[rows].astype(jnp.int64)
-            blk = jnp.where(valid[:, None], blk, 0)
-            num = jax.ops.segment_sum(blk, seg, num_segments=C)
+            # one int32 gather serves both the segment sums and the dist2
+            # pass below; int64 on TPU is emulated (32-bit pairs), so the
+            # big [P, D] reduction runs in int32 whenever per-bin cluster
+            # sums provably fit (maxc * n < 2^31 — true for every uint8
+            # dataset), widening only the small [C, D] result
+            blk32 = counts[rows].astype(jnp.int32)
+            blk32m = jnp.where(valid[:, None], blk32, 0)
+            if int(self.maxc) * max(int(self.ps.n), 1) < 2**31:
+                num = jax.ops.segment_sum(blk32m, seg,
+                                          num_segments=C).astype(jnp.int64)
+            else:
+                num = jax.ops.segment_sum(blk32m.astype(jnp.int64), seg,
+                                          num_segments=C)
             den = jnp.maximum(cnt, 1)[:, None]
             q = num // den
             rem = num - q * den
@@ -310,17 +310,17 @@ class DeviceUpdater:
             g3 = (rem != 0) & ((den - rem) <= tol_c)
             seg_unc = (g1 | g2 | g3).any(axis=1)
 
-            blk32 = counts[rows].astype(jnp.int32)
+            # (blk32 already gathered above)
             dist2 = 2 * jnp.minimum(blk32, r[seg]).sum(axis=1, dtype=jnp.int32)
             mag = mags[rows].astype(jnp.int64) + s_floor[seg]
             frac = DD.dd_div(DD.dd_from_i64(dist2.astype(jnp.int64)),
                              DD.dd_from_i64(mag))
             f2 = DD.dd_mul(frac, frac)
-            one = (jnp.float32(1.0), jnp.float32(0.0))
+            one = (np.float32(1.0), np.float32(0.0))
             u = DD.dd_sub(one, f2)
             vh = u[0] * np.float32(10000.0)
             vl = u[1] * np.float32(10000.0)
-            inf = jnp.float32(np.inf)
+            inf = np.float32(np.inf)
             vh = jnp.where(valid, vh, inf)
             vl = jnp.where(valid, vl, inf)
             mh = jax.ops.segment_min(vh, seg, num_segments=C)
@@ -328,7 +328,7 @@ class DeviceUpdater:
             ml = jax.ops.segment_min(jnp.where(is_m, vl, inf), seg,
                                      num_segments=C)
             cand = is_m & (vl == ml[seg])
-            pos = jnp.arange(P, dtype=jnp.int64)
+            pos = np.arange(P, dtype=np.int64)
             first = jax.ops.segment_min(jnp.where(cand, pos, np.int64(P)),
                                         seg, num_segments=C)
             # near-tie guard: non-candidates within margin of the minimum,
@@ -336,58 +336,196 @@ class DeviceUpdater:
             fd2 = jnp.where(first[seg] < P, dist2[first[seg].astype(jnp.int32)], 0)
             fmg = jnp.where(first[seg] < P, mag[first[seg].astype(jnp.int32)], 0)
             sig_eq = (dist2 == fd2) & (mag == fmg)
-            scale = jnp.maximum(jnp.abs(mh[seg]), jnp.float32(1.0))
+            scale = jnp.maximum(jnp.abs(mh[seg]), np.float32(1.0))
             near = valid & (jnp.abs((vh - mh[seg]) + (vl - ml[seg]))
                             <= np.float32(self.tie_margin) * scale)
             tie_unc = jax.ops.segment_max((near & ~sig_eq).astype(jnp.int32),
                                           seg, num_segments=C) > 0
             return first, seg_unc | tie_unc
 
+    # -- fused per-iteration kernels -------------------------------------------
+
+    def _build_iter(self, P: int, C: int):
+        """Filter decisions + segmented closest-to-mean fused into ONE
+        dispatch per update iteration.  The tunneled link bills ~25 ms
+        latency per round trip and ~30 MB/s readback; returning only the
+        decision masks (2 bytes/pair) instead of six dd/error arrays
+        (24 bytes/pair) and folding the closest call away cuts the
+        iteration's device wall clock ~3x."""
+        import jax
+
+        def impl(counts, mags, selfdot, lens, std_h, std_l,
+                 cen_rows, b_rows, seg, valid):
+            a_idx = cen_rows[seg]
+            s_dd, _dist, s_err, _derr = self._score_core(
+                counts, mags, selfdot, lens, std_h, std_l, a_idx, b_rows)
+            inb, unc = self._band_device(s_dd, s_err, self.band0)
+            keep = valid & ~inb
+            first, cunc = self._closest_core(counts, mags, b_rows, seg,
+                                             keep, C)
+            return keep, valid & unc, first, cunc
+
         return jax.jit(impl)
 
-    MAX_CLOSEST_PAIRS = 1 << 17
-
-    def closest_batch(self, rows: np.ndarray, seg: np.ndarray, C: int):
-        """Per-segment closest-to-mean over (rows, seg) pairs in first-min
-        order; returns (best_pair_index_per_seg [C] int64 with P = no
-        member, uncertain [C] bool).  seg must be nondecreasing."""
+    def _build_merge(self, P: int, C: int):
+        """Merge decisions + per-segment best-candidate argmax on device
+        (engine._merge_pass semantics: res1 = c_round(prob) == 1; the later
+        candidate wins distance ties, Trainer.cpp:104).  Returns per-pair
+        uncertainty plus per-center (any, best pair position, ambiguous);
+        ambiguous or uncertain segments are re-scored by the host oracle."""
+        import jax
         jnp = self.jnp
-        P = len(rows)
+
+        def impl(counts, mags, selfdot, lens, std_h, std_l,
+                 cen_rows, jj, seg, valid):
+            a_idx = cen_rows[jj]
+            b_idx = cen_rows[seg]
+            s_dd, dist_dd, s_err, dist_err = self._score_core(
+                counts, mags, selfdot, lens, std_h, std_l, a_idx, b_idx)
+            inb, unc = self._band_device(s_dd, s_err, self.band1)
+            res1 = valid & inb
+            neg_inf = np.float32(-np.inf)
+            vh = jnp.where(res1, dist_dd[0], neg_inf)
+            vl = jnp.where(res1, dist_dd[1], neg_inf)
+            mh = jax.ops.segment_max(vh, seg, num_segments=C)
+            is_m = res1 & (vh == mh[seg])
+            ml = jax.ops.segment_max(jnp.where(is_m, vl, neg_inf), seg,
+                                     num_segments=C)
+            cand = is_m & (vl == ml[seg])
+            pos = np.arange(P, dtype=np.int32)
+            best = jax.ops.segment_max(jnp.where(cand, pos, -1), seg,
+                                       num_segments=C)
+            any_m = jax.ops.segment_max(res1.astype(jnp.int32), seg,
+                                        num_segments=C) > 0
+            # near-tie ambiguity among res1 candidates (host merge_decisions
+            # semantics: near non-equal values force a full host re-score)
+            derr_max = jax.ops.segment_max(
+                jnp.where(res1, dist_err, np.float32(0.0)), seg,
+                num_segments=C)
+            dapx = (vh + vl) - (mh[seg] + ml[seg])
+            thr = jnp.maximum(
+                8 * (dist_err + derr_max[seg]),
+                np.float32(self.tie_margin) *
+                jnp.maximum(jnp.abs(mh[seg]), np.float32(1.0)))
+            near = res1 & (jnp.abs(dapx) <= thr)
+            eq = (vh == mh[seg]) & (vl == ml[seg])
+            amb = jax.ops.segment_max((near & ~eq).astype(jnp.int32), seg,
+                                      num_segments=C) > 0
+            return valid & unc, any_m, best, amb
+
+        return jax.jit(impl)
+
+    MAX_ITER_PAIRS = 1 << 17
+
+    def filter_closest(self, cen_rows: np.ndarray, b_rows: np.ndarray,
+                       seg: np.ndarray, C: int):
+        """One fused device call: update-filter keep decisions plus
+        per-center closest-to-mean over the kept pairs.  Returns (keep [P],
+        keep_uncertain [P], first [C] pair position into b_rows with P = no
+        kept member, closest_uncertain [C]).  seg must be nondecreasing."""
+        import time as _time
+
+        jnp = self.jnp
+        P = len(b_rows)
         if P == 0:
-            return np.full(C, 0, np.int64), np.zeros(C, bool)
-        if P > self.MAX_CLOSEST_PAIRS:
-            # split on a segment boundary and recurse
-            cut = int(np.searchsorted(seg, seg[self.MAX_CLOSEST_PAIRS // 2],
+            return (np.zeros(0, bool), np.zeros(0, bool),
+                    np.full(C, 0, np.int64), np.zeros(C, bool))
+        if P > self.MAX_ITER_PAIRS:
+            cut = int(np.searchsorted(seg, seg[self.MAX_ITER_PAIRS // 2],
                                       side="left"))
             if cut == 0 or cut >= P:
                 cut = P // 2
             c_mid = int(seg[cut])
-            f1, u1 = self.closest_batch(rows[:cut], seg[:cut], c_mid)
-            f2, u2 = self.closest_batch(rows[cut:], seg[cut:] - c_mid,
-                                        C - c_mid)
+            k1, u1, f1, c1 = self.filter_closest(cen_rows[:c_mid],
+                                                 b_rows[:cut], seg[:cut],
+                                                 c_mid)
+            k2, u2, f2, c2 = self.filter_closest(cen_rows[c_mid:],
+                                                 b_rows[cut:],
+                                                 seg[cut:] - c_mid,
+                                                 C - c_mid)
             f2 = np.where(f2 < (P - cut), f2 + cut, P)
             f1 = np.where(f1 < cut, f1, P)
-            return np.concatenate([f1, f2]), np.concatenate([u1, u2])
-        import time as _time
-
+            return (np.concatenate([k1, k2]), np.concatenate([u1, u2]),
+                    np.concatenate([f1, f2]), np.concatenate([c1, c2]))
         t0 = _time.time()
         Pb = _bucket(P)
         Cb = _bucket(max(C, 1))
-        key = (Pb, Cb)
+        key = ("iter", Pb, Cb)
         if key not in self._closest_jit:
-            self._closest_jit[key] = self._build_closest(Pb, Cb)
-        rp = np.zeros(Pb, np.int32)
+            self._closest_jit[key] = self._build_iter(Pb, Cb)
+        cp = np.zeros(Cb, np.int32)
+        cp[:C] = cen_rows[:C] if len(cen_rows) >= C else \
+            np.pad(cen_rows, (0, C - len(cen_rows)))
+        bp = np.zeros(Pb, np.int32)
         sp = np.full(Pb, Cb - 1, np.int32)
         vp = np.zeros(Pb, bool)
-        rp[:P] = rows
+        bp[:P] = b_rows
         sp[:P] = seg
         vp[:P] = True
-        first, unc = self.jax.device_get(
-            self._closest_jit[key](self.counts, self.mags,
-                                   jnp.asarray(rp), jnp.asarray(sp),
+        keep, kunc, first, cunc = self.jax.device_get(
+            self._closest_jit[key](*self._arrs, jnp.asarray(cp),
+                                   jnp.asarray(bp), jnp.asarray(sp),
                                    jnp.asarray(vp)))
+        self.scored_pairs += P
         first = np.asarray(first)[:C]
         first = np.where(first >= P, P, first)
         self.t_closest += _time.time() - t0
         self.n_closest += 1
-        return first.astype(np.int64), np.asarray(unc)[:C]
+        return (np.asarray(keep)[:P], np.asarray(kunc)[:P],
+                first.astype(np.int64), np.asarray(cunc)[:C])
+
+    def merge_segmented(self, cen_rows: np.ndarray, jj: np.ndarray,
+                        seg: np.ndarray, C: int):
+        """One fused device call for the merge pass: per-pair res1
+        uncertainty plus per-center (any res1, best candidate pair position,
+        ambiguous ranking).  seg must be nondecreasing."""
+        import time as _time
+
+        jnp = self.jnp
+        P = len(jj)
+        if P == 0:
+            return (np.zeros(0, bool), np.zeros(C, bool),
+                    np.full(C, -1, np.int64), np.zeros(C, bool))
+        if P > self.MAX_ITER_PAIRS:
+            cut = int(np.searchsorted(seg, seg[self.MAX_ITER_PAIRS // 2],
+                                      side="left"))
+            if cut == 0 or cut >= P:
+                cut = P // 2
+            c_mid = int(seg[cut])
+            # candidate center indices jj exceed c_mid in the first half;
+            # cen_rows must stay whole (jj spans up to i + delta)
+            u1, a1, b1, m1 = self.merge_segmented(cen_rows, jj[:cut],
+                                                  seg[:cut], c_mid)
+            u2, a2, b2, m2 = self.merge_segmented(cen_rows, jj[cut:],
+                                                  seg[cut:] - c_mid,
+                                                  C - c_mid)
+            b2 = np.where(b2 >= 0, b2 + cut, -1)
+            return (np.concatenate([u1, u2]), np.concatenate([a1, a2]),
+                    np.concatenate([b1, b2]), np.concatenate([m1, m2]))
+        t0 = _time.time()
+        Pb = _bucket(P)
+        Cbank = _bucket(max(len(cen_rows), 1))
+        Cb = _bucket(max(C, 1))
+        key = ("merge", Pb, Cbank, Cb)
+        if key not in self._closest_jit:
+            self._closest_jit[key] = self._build_merge(Pb, Cb)
+        cp = np.zeros(Cbank, np.int32)
+        cp[: len(cen_rows)] = cen_rows
+        jp = np.zeros(Pb, np.int32)
+        sp = np.full(Pb, Cb - 1, np.int32)
+        vp = np.zeros(Pb, bool)
+        jp[:P] = jj
+        sp[:P] = seg
+        vp[:P] = True
+        unc, any_m, best, amb = self.jax.device_get(
+            self._closest_jit[key](*self._arrs, jnp.asarray(cp),
+                                   jnp.asarray(jp), jnp.asarray(sp),
+                                   jnp.asarray(vp)))
+        self.scored_pairs += P
+        best = np.asarray(best)[:C].astype(np.int64)
+        best = np.where(best >= P, -1, best)
+        self.t_score += _time.time() - t0
+        self.n_score += 1
+        return (np.asarray(unc)[:P], np.asarray(any_m)[:C], best,
+                np.asarray(amb)[:C])
+

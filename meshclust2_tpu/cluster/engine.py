@@ -363,7 +363,13 @@ class MeanShiftEngine:
         from .device_loop import DeviceAccumulator, DeviceLoopUnsupported
 
         try:
-            acc = DeviceAccumulator(self.ps, self.model, self.sim)
+            # the updater's device-resident counts (natural order, padded)
+            # double as the accumulate program's histogram store — one
+            # multi-MB upload per run instead of two
+            updater = self._get_device_updater()
+            acc = DeviceAccumulator(
+                self.ps, self.model, self.sim,
+                shared_counts=None if updater is None else updater.counts)
         except DeviceLoopUnsupported as e:
             if forced:
                 raise
@@ -493,20 +499,20 @@ class MeanShiftEngine:
         seg = seg[lp]
         a_arr = cen_rows[seg]
         updater = self._get_device_updater()
-        if len(a_arr) and updater is not None:
-            # one device batch for the whole iteration's filter decisions;
-            # margin-uncertain pairs re-scored by the f64 oracle inside
-            keep = updater.keep_and_dist(a_arr, b_arr, self._host_oracle())
+        if updater is not None:
+            # ONE fused device dispatch: filter decisions + per-center
+            # closest-to-mean; margin-uncertain pairs/segments fall back to
+            # the f64 host oracle below
             self.stats.pairs_scored += len(a_arr)
-        elif len(a_arr):
+            return self._device_update_iter(clusters, cen_rows, b_arr, seg,
+                                            delta, C)
+        if len(a_arr):
             # (pairs_scored is credited by update_phase from the memo's
             # actual-miss count, so cache hits are never double-counted)
             prob, _ = self.scorer.score(a_arr, b_arr)
             keep = c_round(prob) != 0
         else:
             keep = np.zeros(0, bool)
-        if updater is not None:
-            return self._device_closest(clusters, b_arr, seg, keep, delta, C)
         # per-center closest-to-mean over the kept members (batched native
         # path; numpy fallback).  seg is nondecreasing by construction, so
         # per-center slices come from boundaries, not full-array masks.
@@ -559,27 +565,40 @@ class MeanShiftEngine:
                 cl._ms_result = res
         return new_centers
 
-    def _device_closest(self, clusters: List[Cluster], b_arr, seg, keep,
-                        delta: int, C: int) -> List[int]:
-        """Per-center closest-to-mean through the device segmented kernel
-        (device_update.closest_batch); guard-tripped or empty segments fall
-        back to the exact host path (Trainer.cpp:143-157 semantics)."""
-        rowsk = b_arr[keep]
-        segk = seg[keep]
+    def _device_update_iter(self, clusters: List[Cluster], cen_rows, b_arr,
+                            seg, delta: int, C: int) -> List[int]:
+        """One fused device dispatch for the iteration's filter + per-center
+        closest-to-mean (device_update.filter_closest).  Margin-uncertain
+        keep decisions are re-scored by the f64 oracle; their segments —
+        plus guard-tripped or empty segments — fall back to the exact host
+        closest path (Trainer.cpp:122-157 semantics)."""
         updater = self._get_device_updater()
-        first, unc = updater.closest_batch(rowsk, segk, C)
-        P = len(rowsk)
-        bounds = np.searchsorted(segk, np.arange(C + 1))
+        keep, kunc, first, cunc = updater.filter_closest(
+            cen_rows.astype(np.int64), b_arr, seg, C)
+        P = len(b_arr)
+        affected = np.zeros(C, dtype=bool)
+        idx = np.nonzero(kunc)[0]
+        if len(idx):
+            updater.rechecked_pairs += len(idx)
+            prob, _ = self._host_oracle().score(cen_rows[seg[idx]], b_arr[idx])
+            keep2 = np.floor(prob + 0.5) != 0
+            flipped = keep2 != keep[idx]
+            keep[idx] = keep2
+            # a flipped keep changes the kept set: that center's device
+            # closest-to-mean result is stale
+            affected[seg[idx[flipped]]] = True
+        bounds = np.searchsorted(seg, np.arange(C + 1))
         new_centers: List[int] = [0] * C
         for j in range(C):
             lo, hi = int(bounds[j]), int(bounds[j + 1])
+            kj = keep[lo:hi]
             cl = clusters[j]
-            if lo == hi:
+            if not kj.any():
                 new_centers[j] = int(cl.members[0]) if delta == 0 else cl.center_row
-            elif not unc[j] and first[j] < P:
-                new_centers[j] = int(rowsk[first[j]])
+            elif not cunc[j] and not affected[j] and first[j] < P:
+                new_centers[j] = int(b_arr[first[j]])
             else:
-                good = rowsk[lo:hi]
+                good = b_arr[lo:hi][kj]
                 cg = self._rows(good)
                 top = cg.astype(np.float64).mean(axis=0)
                 d = distance_d(cg, top)
@@ -617,33 +636,70 @@ class MeanShiftEngine:
             # order (candidate center j, center i) (Trainer.cpp:93)
             updater = self._get_device_updater()
             if updater is not None:
-                res1, dist = updater.merge_decisions(
-                    a_arr, cen_rows[seg], seg, self._host_oracle())
+                merged = self._device_merge(clusters, cen_rows, jj, seg, C)
                 self.stats.pairs_scored += len(a_arr)
+                num_merge = merged
             else:
                 prob, dist = self.scorer.score(a_arr, cen_rows[seg])
                 res1 = c_round(prob) == 1
-            bounds = np.searchsorted(seg, np.arange(C + 1))
-            for i in range(C):
-                lo, hi = bounds[i], bounds[i + 1]
-                if lo == hi:
-                    continue
-                m = res1[lo:hi]
-                if not m.any():
-                    continue
-                d = dist[lo:hi][m]
-                cj = jj[lo:hi][m]
-                # ties: later candidate wins (best.second > dist keeps
-                # best only when strictly greater, Trainer.cpp:104)
-                best_k = len(d) - 1 - int(np.argmax(d[::-1]))
-                # every candidate satisfies j > i by construction
-                ret = int(cj[best_k])
-                num_merge += 1
-                clusters[ret].members.extend(clusters[i].members)
-                clusters[i].deleted = True
+                bounds = np.searchsorted(seg, np.arange(C + 1))
+                for i in range(C):
+                    lo, hi = bounds[i], bounds[i + 1]
+                    if lo == hi:
+                        continue
+                    m = res1[lo:hi]
+                    if not m.any():
+                        continue
+                    d = dist[lo:hi][m]
+                    cj = jj[lo:hi][m]
+                    # ties: later candidate wins (best.second > dist keeps
+                    # best only when strictly greater, Trainer.cpp:104)
+                    best_k = len(d) - 1 - int(np.argmax(d[::-1]))
+                    # every candidate satisfies j > i by construction
+                    ret = int(cj[best_k])
+                    num_merge += 1
+                    clusters[ret].members.extend(clusters[i].members)
+                    clusters[i].deleted = True
         if num_merge:
             clusters[:] = [c for c in clusters if not c.deleted]
         return num_merge > 0
+
+    def _device_merge(self, clusters: List[Cluster], cen_rows, jj, seg,
+                      C: int) -> int:
+        """Merge decisions through the fused device kernel
+        (device_update.merge_segmented); centers with margin-uncertain
+        probabilities or ambiguous distance rankings are re-scored whole by
+        the f64 host oracle, so merges match the reference bit for bit."""
+        updater = self._get_device_updater()
+        unc, any_m, best, amb = updater.merge_segmented(cen_rows, jj, seg, C)
+        affected = np.asarray(amb, dtype=bool).copy()
+        if unc.any():
+            affected[seg[unc]] = True
+        bounds = np.searchsorted(seg, np.arange(C + 1))
+        num_merge = 0
+        for i in range(C):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if lo == hi:
+                continue
+            if affected[i]:
+                updater.rechecked_pairs += hi - lo
+                prob, dist = self._host_oracle().score(
+                    cen_rows[jj[lo:hi]], cen_rows[seg[lo:hi]])
+                m = np.floor(prob + 0.5) == 1
+                if not m.any():
+                    continue
+                d = dist[m]
+                cj = jj[lo:hi][m]
+                best_k = len(d) - 1 - int(np.argmax(d[::-1]))
+                ret = int(cj[best_k])
+            elif any_m[i] and best[i] >= 0:
+                ret = int(jj[best[i]])
+            else:
+                continue
+            num_merge += 1
+            clusters[ret].members.extend(clusters[i].members)
+            clusters[i].deleted = True
+        return num_merge
 
     def update_phase(self, clusters: List[Cluster], checkpoint: Optional[str] = None,
                      start_it: int = 0,

@@ -123,11 +123,23 @@ def two_prod(a, b):
 # -- dd arithmetic ------------------------------------------------------------
 
 def dd(hi, lo=None):
-    jnp = _jnp()
-    hi = jnp.asarray(hi, jnp.float32)
+    """Pairs from HOST data stay numpy: a jnp.asarray here creates a tiny
+    device array that becomes a jaxpr constant, and MLIR lowering fetches
+    every such constant back from the device — one RPC each on the tunneled
+    platform (measured: 30-500 s lower() stalls from ~40 scalar constants).
+    Numpy constants are embedded into the HLO directly."""
+    import jax
+
+    if isinstance(hi, jax.Array) or isinstance(lo, jax.Array):
+        jnp = _jnp()
+        hi = jnp.asarray(hi, jnp.float32)
+        if lo is None:
+            lo = jnp.zeros_like(hi)
+        return hi, jnp.asarray(lo, jnp.float32)
+    hi = np.asarray(hi, np.float32)
     if lo is None:
-        lo = jnp.zeros_like(hi)
-    return hi, jnp.asarray(lo, jnp.float32)
+        lo = np.zeros_like(hi)
+    return hi, np.asarray(lo, np.float32)
 
 
 def dd_neg(x):
