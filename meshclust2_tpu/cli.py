@@ -305,7 +305,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.device == "tpu":
         # bring the backend up before any clock stamp (slow tunneled init;
         # falls back to host scoring later if it cannot come up)
-        ensure_device_backend()
+        if ensure_device_backend():
+            # route the training pair tables (P4) through the device too
+            # (train/device_tables.py; host fallback stays automatic)
+            os.environ.setdefault("MC2_DEVICE_TRAIN", "1")
     clock = Clock()
     if args.threads > 0:
         # the reference caps OpenMP parallelism via omp_set_num_threads

@@ -19,6 +19,7 @@ float64 host otherwise) instead of the reference's per-pair memo cache.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -107,6 +108,7 @@ def _build_pair_tables(
     id_cutoff: float,
     mins=None,
     maxs=None,
+    allow_device: bool = False,
 ):
     """Raw + normalized singles for (template, mutant) pairs; bounds computed
     from this population when not supplied (calculate_table semantics:
@@ -119,7 +121,29 @@ def _build_pair_tables(
     from ..native import raw_singles_batch
 
     combined = concat_point_sets([ps, mutant_ps])
-    raw = raw_singles_batch(combined, t_rows, ps.n + m_rows, singles)
+
+    def _host_exact(idx):
+        sub = raw_singles_batch(combined, t_rows[idx], ps.n + m_rows[idx],
+                                singles)
+        if sub is None:
+            A = H.side_from_pointset(ps, t_rows[idx])
+            B = H.side_from_pointset(mutant_ps, m_rows[idx])
+            sub = H.compute_singles(singles, A, B)
+        return sub
+
+    raw = None
+    used_device = False
+    if allow_device and os.environ.get("MC2_DEVICE_TRAIN"):
+        # P4 on device (Predictor.cpp:344): one batched dd kernel with
+        # exact-extrema rechecks so normalization bounds stay bit-identical
+        # to the host build (train/device_tables.py)
+        from .device_tables import device_raw_singles
+
+        raw = device_raw_singles(combined, t_rows, ps.n + m_rows, singles,
+                                 _host_exact)
+        used_device = raw is not None
+    if raw is None:
+        raw = raw_singles_batch(combined, t_rows, ps.n + m_rows, singles)
     if raw is None:
         A = H.side_from_pointset(ps, t_rows)
         B = H.side_from_pointset(mutant_ps, m_rows)
@@ -131,7 +155,21 @@ def _build_pair_tables(
     labels = np.where(vals >= id_cutoff, 1.0, -1.0)
     tbl = S.SinglesTable(singles=singles, raw=raw, normalized=normalized,
                          labels=labels, values=vals)
-    return tbl, mins, maxs
+    if not used_device:
+        return tbl, mins, maxs, None
+
+    def make_exact(mins=mins, maxs=maxs, labels=labels, vals=vals):
+        """Float64-oracle rebuild of this table (same bounds — they are
+        already exact by the recheck contract): the device table's ~1e-13
+        entry error is amplified ~kappa^2 by the normal-equations solve, so
+        the FINAL weights are re-solved on exact columns after selection."""
+        ex = _host_exact(np.arange(len(pairs)))
+        return S.SinglesTable(
+            singles=singles, raw=ex,
+            normalized=S.apply_normalization(ex, singles, mins, maxs),
+            labels=labels, values=vals)
+
+    return tbl, mins, maxs, make_exact
 
 
 def _gen_balanced(
@@ -303,9 +341,16 @@ def train_predictor(
     singles = F.split_flags(feat_flags)
     train_mut_ps = _mutant_point_set(training, k, datatype)
     test_mut_ps = _mutant_point_set(testing, k, datatype)
-    tr_tbl, mins, maxs = _build_pair_tables(ps, training, train_mut_ps, singles, identity)
-    te_tbl, _, _ = _build_pair_tables(ps, testing, test_mut_ps, singles, identity,
-                                      mins, maxs)
+    # the device table path is restricted to pure classification mode: the
+    # regression chain filters rows through an RNG-consuming shuffle, so an
+    # exact post-selection re-solve cannot be replayed there
+    allow_dev = mode == PRED_MODE_CLASS
+    tr_tbl, mins, maxs, tr_exact = _build_pair_tables(
+        ps, training, train_mut_ps, singles, identity,
+        allow_device=allow_dev)
+    te_tbl, _, _, te_exact = _build_pair_tables(
+        ps, testing, test_mut_ps, singles, identity, mins, maxs,
+        allow_device=allow_dev)
 
     possible = S.enumerate_feat_pairs(feat_flags)
     model = PredictorModel(
@@ -320,6 +365,10 @@ def train_predictor(
         feat_set, weights, _, _ = S.best_first_select(
             tr_tbl, te_tbl, possible, min_feat, max_feat, verbose=verbose
         )
+        if tr_exact is not None:
+            # device tables drove the selection; the shipped weights come
+            # from one exact re-solve on the float64-oracle columns
+            _, weights, _, _ = S.class_eval(tr_exact(), te_exact(), feat_set)
         model.classifier = _to_block(feat_set, weights, singles, mins, maxs)
     if mode & PRED_MODE_REGR:
         trr, ter = tr_tbl, te_tbl

@@ -94,9 +94,15 @@ def test_device_scorer_matches_host_on_chip():
         hp, hd = HostScorer(ps, model).score(a, b)
         dp, dd = DeviceScorer(ps, model).score(a, b)
         import numpy as np
-        # decisions must match exactly; values to recheck tolerance
+        # the scorer's contract (ops/device_features.DeviceScorer): rounded
+        # decisions match the f64 oracle exactly; dist values are f32-path
+        # approximations EXCEPT near the batch max, which is re-ranked in
+        # exact f64 — so argmax and the max value are exact, the rest only
+        # to f32 tolerance
         assert np.array_equal(np.floor(hp + .5), np.floor(dp + .5))
-        assert np.allclose(hd, dd, rtol=1e-5)
+        assert np.argmax(dd) == np.argmax(hd)
+        assert dd[np.argmax(dd)] == hd[np.argmax(hd)]
+        assert np.allclose(hd, dd, rtol=5e-4, atol=1e-6)
         print("SCORER_OK")
     """)))
     assert "SCORER_OK" in out
