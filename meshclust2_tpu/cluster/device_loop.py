@@ -957,6 +957,12 @@ class DeviceAccumulator:
                 C["counts"] = C["counts_nat"][C["order_pad"]]
             n_s = C["n"]
             max_iters = 2 * n_s.astype(jnp.int32) + 16
+            # profiling hook: cap the step count to measure marginal
+            # per-step cost of the compiled program (output is then
+            # truncated/invalid; never set outside experiments)
+            cap = int(os.environ.get("MC2_DEV_STEP_CAP", "0"))
+            if cap:
+                max_iters = jnp.minimum(max_iters, np.int32(cap))
 
             def cond(st: Carry):
                 return (~st.done) & (st.iters < max_iters)
