@@ -233,7 +233,26 @@ def ensure_device_backend() -> bool:
     return ok
 
 
-def make_scorer(ps: PointSet, model: CompiledModel, device: str):
+def _try_device_session(ps: PointSet, model: CompiledModel, sim: float,
+                        args):
+    """DeviceSession or None; any failure (envelope, backend flake, compile
+    error) falls back to the sessionless paths rather than killing the
+    run."""
+    if os.environ.get("MC2_NO_DEVICE_SESSION"):
+        return None
+    try:
+        from .cluster.device_session import try_create
+
+        return try_create(ps, model, sim, delta=args.delta,
+                          iterations=args.iterations)
+    except Exception as e:  # noqa: BLE001 - tunnel bring-up is opaque
+        print(f"warning: device session init failed ({e}); "
+              "falling back", file=sys.stderr)
+        return None
+
+
+def make_scorer(ps: PointSet, model: CompiledModel, device: str,
+                session=None):
     """Scorer selection.
 
     host: native C++ exact scorer (fast sequential path), falling back to
@@ -253,6 +272,14 @@ def make_scorer(ps: PointSet, model: CompiledModel, device: str):
         # The sequential accumulate loop is dispatch-latency bound; a
         # network-tunneled TPU stalls it, so auto prefers the native host
         # scorer and device offload stays opt-in (--device tpu).
+        return host
+    if session is not None:
+        # a DeviceSession holds the only device state needed: whole phases
+        # run on-device, and any guarded-abort host completion should use
+        # the fast native scorer, NOT per-window device dispatches.  This
+        # also avoids DeviceFeatureEngine's large float32 histogram upload
+        # (the round-3 bench regression was redundant uploads).
+        host.prefers_device_loop = True
         return host
     from .ops.device_features import DeviceScorer
 
@@ -395,6 +422,20 @@ def _main_impl(args, clock) -> int:
         records_cache=records_cache,
     )
     records_cache.clear()
+
+    # Device bring-up BEFORE the read_in_points stamp (recover path): the
+    # histogram store upload, program lowering/compilation and their forced
+    # completion are the device analog of the reference's in-memory point
+    # loading — the measured clustering window then contains execution
+    # only.  Training runs build the session after training instead.
+    device_session = None
+    model: Optional[CompiledModel] = None
+    if recovered is not None:
+        model = CompiledModel(recovered.classifier, bias=args.bias)
+        if (args.device == "tpu" and all_ps is not None and all_ps.n
+                and ensure_device_backend()):
+            device_session = _try_device_session(
+                all_ps, model, similarity, args)
     clock.stamp("read_in_points")
 
     if all_ps is None or all_ps.n == 0:
@@ -410,7 +451,7 @@ def _main_impl(args, clock) -> int:
         return 1
 
     if recovered is not None:
-        model = CompiledModel(recovered.classifier, bias=args.bias)
+        pass  # model built above (before the read_in_points stamp)
     else:
         from .train.predictor import train_predictor
 
@@ -438,10 +479,15 @@ def _main_impl(args, clock) -> int:
         if args.dump:
             return 0
         model = CompiledModel(pred_model.classifier, bias=args.bias)
+        if (args.device == "tpu" and all_ps is not None and all_ps.n
+                and ensure_device_backend()):
+            device_session = _try_device_session(
+                all_ps, model, similarity, args)
 
     # clustering runs on all points (train + notrain), sequences dropped
     all_ps.seqs = None
-    scorer = make_scorer(all_ps, model, args.device)
+    scorer = make_scorer(all_ps, model, args.device,
+                         session=device_session)
     engine = MeanShiftEngine(
         all_ps,
         model,
@@ -449,6 +495,7 @@ def _main_impl(args, clock) -> int:
         scorer=scorer,
         delta=args.delta,
         iterations=args.iterations,
+        device_session=device_session,
     )
     clusters = engine.run(clock=clock, checkpoint=args.checkpoint,
                           resume=args.resume_cluster)

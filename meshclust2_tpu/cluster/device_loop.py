@@ -143,6 +143,20 @@ class DeviceLoopUnsupported(Exception):
     pass
 
 
+def _step_cap() -> int:
+    """Validated MC2_DEV_STEP_CAP (profiling-only step limit).  A stray or
+    malformed value must fail loudly, not silently truncate a real run."""
+    raw = os.environ.get("MC2_DEV_STEP_CAP", "0")
+    try:
+        cap = int(raw)
+    except ValueError:
+        raise RuntimeError(
+            f"MC2_DEV_STEP_CAP={raw!r} is not an integer") from None
+    if cap < 0:
+        raise RuntimeError(f"MC2_DEV_STEP_CAP={cap} must be >= 0")
+    return cap
+
+
 class ResumeState(NamedTuple):
     """Host continuation point after a guarded abort."""
     stage: int                 # 1: redo window scan; 2: redo closest-to-mean
@@ -960,7 +974,7 @@ class DeviceAccumulator:
             # profiling hook: cap the step count to measure marginal
             # per-step cost of the compiled program (output is then
             # truncated/invalid; never set outside experiments)
-            cap = int(os.environ.get("MC2_DEV_STEP_CAP", "0"))
+            cap = _step_cap()
             if cap:
                 max_iters = jnp.minimum(max_iters, np.int32(cap))
 
@@ -990,6 +1004,35 @@ class DeviceAccumulator:
 
     # -- public entry ------------------------------------------------------------
 
+    def ensure_ready(self, bv: BVec) -> None:
+        """Prepare, upload (forced), lower and compile for this pool state
+        so a later run(bv) on the same state only executes.  Called by
+        DeviceSession before the measured clustering window opens."""
+        import jax.numpy as jnp
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        host, dev = self._prepare(bv)
+        prog = self._build_program(host, dev)
+        Cdev = {k: jnp.asarray(v) for k, v in dev.items()}
+        compiled = prog.lower(Cdev).compile()
+        # force the per-run uploads to completion now (async dispatch would
+        # otherwise bill them to the first execute)
+        for v in Cdev.values():
+            np.asarray(v.ravel()[-1] if v.ndim else v)
+        self._ready = (host, Cdev, compiled)
+
+    def _ready_matches(self, bv: BVec) -> bool:
+        ready = getattr(self, "_ready", None)
+        if ready is None:
+            return False
+        host = ready[0]
+        order = np.concatenate([b for b in bv.bins]) if bv.size() \
+            else np.zeros(0, np.int64)
+        return (len(order) == host["n"]
+                and np.array_equal(order, host["order"]))
+
     def run(self, bv: BVec):
         """Returns (clusters_raw, None) on completion, or (None, ResumeState)
         on a guarded abort.  clusters_raw is a list of (center_row,
@@ -1002,20 +1045,26 @@ class DeviceAccumulator:
 
         profile = bool(os.environ.get("MC2_DEVICE_PROF"))
         t0 = time.time()
-        host, dev = self._prepare(bv)
-        t1 = time.time()
-        prog = self._build_program(host, dev)
-        import jax.numpy as jnp
+        if self._ready_matches(bv):
+            host, Cdev, compiled = self._ready
+            t1 = t1b = t2 = time.time()
+        else:
+            host, dev = self._prepare(bv)
+            t1 = time.time()
+            prog = self._build_program(host, dev)
+            import jax.numpy as jnp
 
-        Cdev = {k: jnp.asarray(v) for k, v in dev.items()}
-        lowered = prog.lower(Cdev)
-        t1b = time.time()
-        compiled = lowered.compile()
-        t2 = time.time()
+            Cdev = {k: jnp.asarray(v) for k, v in dev.items()}
+            lowered = prog.lower(Cdev)
+            t1b = time.time()
+            compiled = lowered.compile()
+            t2 = time.time()
         res = compiled(Cdev)
         abort, cid, cur, alive, assign, astep, centers, iters = (
             np.asarray(x) for x in res)
         t3 = time.time()
+        self.last_exec_seconds = t3 - t2
+        self.last_steps = int(iters)
         if profile:
             print(f"device accumulate: prepare {t1 - t0:.2f}s, "
                   f"lower {t1b - t1:.2f}s, compile {t2 - t1b:.2f}s, "
@@ -1026,6 +1075,18 @@ class DeviceAccumulator:
         n_it = int(iters)
         if n_it >= 2 * n + 16:
             raise RuntimeError("device accumulate exceeded its iteration bound")
+        cap = _step_cap()
+        if cap and n_it >= cap and int(abort) == 0 and alive.any():
+            # the cap truncated the loop: the clustering is INVALID.  Allow
+            # it only for explicit profiling sessions, and say so loudly.
+            if not os.environ.get("MC2_DEVICE_PROF"):
+                raise RuntimeError(
+                    f"MC2_DEV_STEP_CAP={cap} truncated the accumulate loop "
+                    f"({n_it} steps, pool not empty) — unset it for real "
+                    "runs; it exists only for profiling experiments")
+            print(f"WARNING: MC2_DEV_STEP_CAP={cap} truncated the device "
+                  "accumulate loop; output below is NOT a valid clustering",
+                  flush=True)
         abort = int(abort)
 
         def members_of(c):

@@ -1,0 +1,620 @@
+"""Whole-phase device-resident update/merge.
+
+The reference's update phase (ClusterFactory.cpp:635-655) iterates <= 15
+times: re-center every cluster on the member of its +/-delta neighborhood
+closest to the classifier-filtered member mean (ClusterFactory.cpp:287-335,
+Trainer.cpp:122-157), then merge adjacent centers the classifier calls the
+same (ClusterFactory.cpp:382-401, Trainer.cpp:73-109), with early stop when
+the cluster count matches the count three iterations earlier, and one final
+delta=0 re-centering pass (ClusterFactory.cpp:648-650).
+
+Round 3 ran this as ~15 fused device dispatches; on this environment's
+tunneled chip each dispatch pays 0.2-0.9 s of link latency, so the phase
+cost ~10 s against a ~50 ms compute content.  This module compiles the
+ENTIRE phase — iteration loop, early stop, merge bookkeeping and the final
+pass — into ONE jitted program over the shared DeviceStore, so the phase is
+one round trip.
+
+Neighborhoods without ragged pair lists: a member row of the cluster at
+rank r participates in the re-centering of centers at ranks r-delta..r+delta,
+so the (row, center) pair set is exactly rows x (2*delta+1) rank offsets.
+Each offset is one full-array pass: gather the per-row target center,
+length-window + classify -> keep, segment-sum kept histograms per center,
+then a second offset sweep for closest-to-mean.  The merge pass scores
+(rank i, rank i+q) center pairs per offset q and replays absorb events
+sequentially (events only — merges are sparse) with O(rows) masked updates,
+preserving exact member order via per-row (cluster, seq) keys.
+
+Exactness contract (same as cluster/device_loop.py): integer-exact pair
+statistics, dd-f32 epilogue with propagated error bounds, float64 decision
+edges bit-bisected on the host, and margin guards on EVERY data-dependent
+decision.  Uncertainty anywhere in an iteration aborts the program at that
+iteration's START (the iteration is never half-applied); the host resumes
+the per-iteration path from there, so output always matches the float64
+host semantics bit for bit.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+from ..model.classifier import CompiledModel
+from ..model import thresholds as TH
+from ..kmer.counting import PointSet
+from ..ops import ddf32 as DD
+from .device_loop import (
+    DEFAULT_MARGIN,
+    DEFAULT_TIE_MARGIN,
+    DeviceLoopUnsupported,
+    _pack_model,
+    derive_singles_dd,
+    emd_rowsum,
+    epilogue_dd,
+    stat_needs,
+)
+
+
+class PhaseResult(NamedTuple):
+    abort: int          # 0 done (final pass applied); 1 uncertainty at
+                        # iteration `it` (state = that iteration's start);
+                        # 2 loop done, final pass uncertain (state = post-loop)
+    it: int             # iterations fully applied
+    hist: List[int]     # cluster count after each applied iteration
+    clusters: list      # [(center_row, [member_rows...])] in slot order
+    pairs: int          # length-passed pairs scored (stats parity)
+
+
+class DevicePhaseUpdater:
+    def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
+                 store, delta: int = 5, iterations: int = 15,
+                 margin: float = DEFAULT_MARGIN,
+                 tie_margin: float = DEFAULT_TIE_MARGIN):
+        self.ps = ps
+        self.model = model
+        self.sim = float(sim)
+        self.store = store
+        self.delta = int(delta)
+        self.iterations = int(iterations)
+        self.margin = float(margin)
+        self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
+            if margin > DEFAULT_MARGIN else float(tie_margin)
+        self.pack = _pack_model(model)
+        self.d = ps.dim
+        self.maxc = int(ps.counts.max()) if ps.n else 0
+        self.NB = store.nb
+        # int32 segment sums are exact when per-bin cluster sums fit
+        self.sum32 = self.maxc * max(int(ps.n), 1) < 2**31
+        self.band0 = TH.nonzero_bands(model.bias)   # c_round(prob) != 0
+        self.band1 = TH.merge_band(model.bias)      # c_round(prob) == 1
+        self._compiled = None
+
+    # -- traced helpers ---------------------------------------------------------
+
+    def _band_device(self, jnp, s_dd, s_err, band):
+        """In-band + margin-uncertainty masks for dd GLM sums against
+        [lo, hi) (device_update._band_device semantics)."""
+        lo, hi = band
+        inb = jnp.ones_like(s_dd[0], dtype=bool)
+        unc = jnp.zeros_like(inb)
+        for edge, ge in ((lo, True), (hi, False)):
+            if np.isfinite(edge):
+                e_dd = tuple(np.float32(x)
+                             for x in DD.split_f64(np.float64(edge)))
+                diff = DD.dd_sub(s_dd, e_dd)
+                ge_mask = (diff[0] > 0) | ((diff[0] == 0) & (diff[1] >= 0))
+                inb = inb & (ge_mask if ge else ~ge_mask)
+                thr = jnp.maximum(
+                    8 * s_err,
+                    np.float32(self.margin * max(abs(edge), 1.0)))
+                unc = unc | (jnp.abs(diff[0] + diff[1]) <= thr)
+            elif (edge == -np.inf) != ge:
+                inb = inb & False
+        return inb, unc
+
+    def _score_rows(self, jax, jnp, S, a_rows, b_rows):
+        """(s_dd, dist_dd, s_err, dist_err) for row-index vectors with the
+        reference argument order (a = center/candidate, b = member)."""
+        A = S["counts"][a_rows].astype(jnp.int32)
+        B = S["counts"][b_rows].astype(jnp.int32)
+        nsm, ndot, nemd = stat_needs(self.pack.singles)
+        W = A.shape[0]
+        summin = (jnp.minimum(A, B).sum(axis=1, dtype=jnp.int32)
+                  if nsm else np.zeros((W,), np.int32))
+        dot = ((A * B).sum(axis=1, dtype=jnp.int32)
+               if ndot else np.zeros((W,), np.int32))
+        emd = (emd_rowsum(jax, jnp, A - B, self.d)
+               if nemd else np.zeros((W,), np.int64))
+        side = lambda r: {
+            "mags": S["mags"][r], "selfdot": S["selfdot"][r],
+            "std": (S["std_h"][r], S["std_l"][r]), "lens": S["lens"][r],
+        }
+        singles = derive_singles_dd(
+            self.pack, self.d, jnp, {"summin": summin, "dot": dot,
+                                     "emd": emd},
+            side(a_rows), side(b_rows))
+        return epilogue_dd(self.pack, singles)
+
+    # -- program ----------------------------------------------------------------
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        NB = self.NB
+        D = self.d
+        delta = self.delta
+        ITER = self.iterations
+        margin = np.float32(self.margin)
+        tie_margin = np.float32(self.tie_margin)
+        maxc = np.int64(self.maxc)
+        sum32 = self.sum32
+        BIGKEY = np.int64(2**62)
+        pos_inf = np.float32(np.inf)
+        neg_inf = np.float32(-np.inf)
+
+        class St(NamedTuple):
+            assign: jnp.ndarray    # [NB] i32 slot per row
+            seq: jnp.ndarray       # [NB] i32 member position
+            cen: jnp.ndarray       # [NB] i32 center row per slot
+            alivec: jnp.ndarray    # [NB] bool slot alive
+            clen: jnp.ndarray      # [NB] i32 member count per slot
+            hist: jnp.ndarray      # [ITER] i32 count after iteration k
+            it: jnp.ndarray        # i32
+            done: jnp.ndarray      # bool
+            abort: jnp.ndarray     # i32
+            pairs: jnp.ndarray     # i64
+
+        def ranks(alivec):
+            ai = alivec.astype(jnp.int32)
+            crank = jnp.cumsum(ai)
+            rank = crank - ai
+            Ctot = crank[-1]
+            idxs = jnp.where(alivec, rank, np.int32(NB))
+            inv = jnp.zeros(NB, jnp.int32).at[idxs].set(
+                np.arange(NB, dtype=np.int32), mode="drop")
+            return rank, inv, Ctot
+
+        def mean_guards(num, den_raw):
+            """Rounded mean + f64 rounding-corner guards per slot
+            (device_loop.closest_to_mean semantics, vectorized [NB, D])."""
+            den = jnp.maximum(den_raw, 1)[:, None].astype(jnp.int64)
+            q = num // den
+            rem = num - q * den
+            r = ((2 * num + den) // (2 * den)).astype(jnp.int32)
+            s_floor = q.sum(axis=1)
+            half_lhs = jnp.abs(2 * rem - den)
+            tol_half = ((q + 2) * den) >> 51
+            g1 = (half_lhs != 0) & (half_lhs <= tol_half)
+            tol_f = ((q + 2) * den) >> 52
+            g2 = (rem != 0) & (rem <= tol_f)
+            tol_c = ((q + maxc + 2) * den) >> 52
+            g3 = (rem != 0) & ((den - rem) <= tol_c)
+            unc = ((g1 | g2 | g3).any(axis=1)) & (den_raw > 0)
+            return r, s_floor, unc
+
+        def program(S, assign0, seq0, cen0, alivec0, clen0, n):
+            valid_row = np.arange(NB, dtype=np.int32) < n
+            rows_all = np.arange(NB, dtype=np.int32)
+
+            def filter_mean(st, offsets):
+                """Classify passes + segment sums over the given rank
+                offsets.  Returns (keepbits [NB] i32, msum [NB, D] i64,
+                mcnt [NB] i32, r, s_floor, unc, pairs)."""
+                rank, inv, Ctot = ranks(st.alivec)
+                rrank = rank[st.assign]
+
+                def off_body(oi, carry):
+                    keepbits, msum, mcnt, unc, pairs = carry
+                    o = offsets[0] + oi
+                    t_rank = rrank + (o - delta)
+                    tvalid = valid_row & (t_rank >= 0) & (t_rank < Ctot) \
+                        & st.alivec[st.assign]
+                    t_slot = inv[jnp.clip(t_rank, 0, NB - 1)]
+                    cr = st.cen[t_slot]
+                    lp = tvalid & (S["lens"] >= S["blen"][cr]) \
+                        & (S["lens"] <= S["elen"][cr])
+                    pairs = pairs + lp.sum(dtype=jnp.int64)
+                    s_dd, _dist, s_err, _derr = self._score_rows(
+                        jax, jnp, S, cr, rows_all)
+                    # band0 is the round-to-ZERO band: kept members are the
+                    # ones OUTSIDE it (c_round(prob) != 0, Trainer.cpp:134)
+                    inb, bunc = self._band_device(jnp, s_dd, s_err,
+                                                  self.band0)
+                    keep = lp & ~inb
+                    unc = unc | (lp & bunc).any()
+                    B = S["counts"].astype(jnp.int32)
+                    Bm = jnp.where(keep[:, None], B, 0)
+                    if sum32:
+                        add = jax.ops.segment_sum(Bm, t_slot,
+                                                  num_segments=NB)
+                        msum = msum + add.astype(jnp.int64)
+                    else:
+                        msum = msum + jax.ops.segment_sum(
+                            Bm.astype(jnp.int64), t_slot, num_segments=NB)
+                    mcnt = mcnt + jax.ops.segment_sum(
+                        keep.astype(jnp.int32), t_slot, num_segments=NB)
+                    keepbits = keepbits | (keep.astype(jnp.int32) << o)
+                    return keepbits, msum, mcnt, unc, pairs
+
+                init = (jnp.zeros(NB, jnp.int32),
+                        jnp.zeros((NB, D), jnp.int64),
+                        jnp.zeros(NB, jnp.int32),
+                        jnp.zeros((), bool), jnp.zeros((), jnp.int64))
+                keepbits, msum, mcnt, unc, pairs = jax.lax.fori_loop(
+                    0, offsets[1] - offsets[0] + 1, off_body, init)
+                r, s_floor, g_unc = mean_guards(msum, mcnt)
+                unc = unc | g_unc.any()
+                return keepbits, mcnt, r, s_floor, unc, pairs
+
+            def closest(st, offsets, keepbits, r, s_floor):
+                """Per-slot argmin of distance_d(member, rounded mean) over
+                kept pairs, reference gather order for ties.  Returns
+                (best_row [NB] i32 with NB = none, unc)."""
+                rank, inv, Ctot = ranks(st.alivec)
+                rrank = rank[st.assign]
+
+                class CC(NamedTuple):
+                    oi: jnp.ndarray
+                    vh: jnp.ndarray     # [NB] per-slot best
+                    vl: jnp.ndarray
+                    key: jnp.ndarray    # [NB] i64 (window, seq) of best
+                    row: jnp.ndarray    # [NB] i32
+                    d2: jnp.ndarray     # [NB] i32 tie signature
+                    mg: jnp.ndarray     # [NB] i64
+                    unc: jnp.ndarray
+
+                def off_body(cc: CC):
+                    o = offsets[0] + cc.oi
+                    t_rank = rrank + (o - delta)
+                    tvalid = valid_row & (t_rank >= 0) & (t_rank < Ctot) \
+                        & st.alivec[st.assign]
+                    t_slot = inv[jnp.clip(t_rank, 0, NB - 1)]
+                    keep = tvalid & (((keepbits >> o) & 1) > 0)
+                    B = S["counts"].astype(jnp.int32)
+                    rg = r[t_slot]
+                    dist2 = 2 * jnp.minimum(B, rg).sum(axis=1,
+                                                       dtype=jnp.int32)
+                    mag = S["mags"].astype(jnp.int64) + s_floor[t_slot]
+                    frac = DD.dd_div(DD.dd_from_i64(dist2.astype(jnp.int64)),
+                                     DD.dd_from_i64(mag))
+                    f2 = DD.dd_mul(frac, frac)
+                    u = DD.dd_sub((np.float32(1.0), np.float32(0.0)), f2)
+                    vh_ = u[0] * np.float32(10000.0)
+                    vl_ = u[1] * np.float32(10000.0)
+                    vh = jnp.where(keep, vh_, pos_inf)
+                    vl = jnp.where(keep, vl_, pos_inf)
+                    mh = jax.ops.segment_min(vh, t_slot, num_segments=NB)
+                    is_m = keep & (vh == mh[t_slot])
+                    ml = jax.ops.segment_min(jnp.where(is_m, vl, pos_inf),
+                                             t_slot, num_segments=NB)
+                    cand = is_m & (vl == ml[t_slot])
+                    w = np.int64(2 * delta) - o.astype(jnp.int64)
+                    key = (w << 32) | st.seq.astype(jnp.int64)
+                    ckey = jax.ops.segment_min(
+                        jnp.where(cand, key, BIGKEY), t_slot,
+                        num_segments=NB)
+                    crow = jax.ops.segment_min(
+                        jnp.where(cand & (key == ckey[t_slot]),
+                                  rows_all, np.int32(NB)),
+                        t_slot, num_segments=NB)
+                    have = crow < NB
+                    cd2 = jnp.where(have, dist2[jnp.minimum(crow, NB - 1)], 0)
+                    cmg = jnp.where(have, mag[jnp.minimum(crow, NB - 1)], 0)
+                    # near-tie guard within the offset (exact int-equal safe)
+                    sig_eq = keep & (dist2 == cd2[t_slot]) \
+                        & (mag == cmg[t_slot])
+                    scale = jnp.maximum(jnp.abs(mh[t_slot]), np.float32(1.0))
+                    thr = jnp.maximum(tie_margin * scale, np.float32(1e-7))
+                    near = keep & (jnp.abs((vh - mh[t_slot])
+                                           + (vl - ml[t_slot])) <= thr)
+                    o_unc = jax.ops.segment_max(
+                        (near & ~sig_eq).astype(jnp.int32), t_slot,
+                        num_segments=NB) > 0
+
+                    # merge into per-slot carry (lexicographic dd compare)
+                    carry_valid = jnp.isfinite(cc.vh)
+                    llt = (mh < cc.vh) | ((mh == cc.vh) & (ml < cc.vl))
+                    leq = (mh == cc.vh) & (ml == cc.vl)
+                    better = have & (~carry_valid | llt)
+                    better_key = have & carry_valid & leq & (ckey < cc.key)
+                    take = better | better_key
+                    sig_eq_c = (cd2 == cc.d2) & (cmg == cc.mg)
+                    dapx = (mh + ml) - (cc.vh + cc.vl)
+                    cross_near = have & carry_valid & (
+                        jnp.abs(dapx) <= jnp.maximum(
+                            tie_margin * jnp.maximum(jnp.abs(cc.vh),
+                                                     np.float32(1.0)),
+                            np.float32(1e-7)))
+                    unc_cross = cross_near & ~(leq & sig_eq_c)
+                    sel = lambda a, b: jnp.where(take, a, b)
+                    return CC(
+                        oi=cc.oi + 1,
+                        vh=sel(mh, cc.vh), vl=sel(ml, cc.vl),
+                        key=sel(ckey, cc.key),
+                        row=sel(crow, cc.row),
+                        d2=sel(cd2, cc.d2), mg=sel(cmg, cc.mg),
+                        unc=cc.unc | o_unc | unc_cross,
+                    )
+
+                init = CC(oi=jnp.zeros((), jnp.int32),
+                          vh=jnp.full(NB, pos_inf),
+                          vl=jnp.full(NB, pos_inf),
+                          key=jnp.full(NB, BIGKEY),
+                          row=jnp.full(NB, NB, jnp.int32),
+                          d2=jnp.zeros(NB, jnp.int32),
+                          mg=jnp.zeros(NB, jnp.int64),
+                          unc=jnp.zeros(NB, bool))
+                noff = offsets[1] - offsets[0] + 1
+                cc = jax.lax.while_loop(lambda c: c.oi < noff, off_body,
+                                        init)
+                return cc.row, (cc.unc & st.alivec).any()
+
+            def recenter(st, offsets):
+                keepbits, mcnt, r, s_floor, unc1, pairs = \
+                    filter_mean(st, offsets)
+                best_row, unc2 = closest(st, offsets, keepbits, r, s_floor)
+                return best_row, mcnt, unc1 | unc2, pairs
+
+            def merge_pass(st):
+                """Merge decisions + sequential absorb replay."""
+                rank, inv, Ctot = ranks(st.alivec)
+                slots = np.arange(NB, dtype=np.int32)
+
+                class MC(NamedTuple):
+                    q: jnp.ndarray
+                    any: jnp.ndarray    # [NB]
+                    bh: jnp.ndarray
+                    bl: jnp.ndarray
+                    berr: jnp.ndarray   # [NB] best's absolute dist error
+                    bj: jnp.ndarray     # [NB] best candidate slot
+                    sig: tuple          # candidate center-row signature
+                    unc: jnp.ndarray
+                    pairs: jnp.ndarray
+
+                def q_body(mc: MC):
+                    tq = rank + mc.q
+                    tvalid = st.alivec & (tq < Ctot)
+                    j_slot = inv[jnp.clip(tq, 0, NB - 1)]
+                    ci = st.cen[slots]
+                    cj = st.cen[j_slot]
+                    lp = tvalid & (S["lens"][cj] >= S["blen"][ci]) \
+                        & (S["lens"][cj] <= S["elen"][ci])
+                    pairs = mc.pairs + lp.sum(dtype=jnp.int64)
+                    s_dd, dist_dd, s_err, dist_err = self._score_rows(
+                        jax, jnp, S, cj, ci)
+                    inb, bunc = self._band_device(jnp, s_dd, s_err,
+                                                  self.band1)
+                    res1 = lp & inb
+                    unc = mc.unc | (lp & bunc & st.alivec)
+                    vh = jnp.where(res1, dist_dd[0], neg_inf)
+                    vl = jnp.where(res1, dist_dd[1], neg_inf)
+                    # later candidate wins ties: replace on >= (dd-lex)
+                    carry_valid = mc.any
+                    gt = (vh > mc.bh) | ((vh == mc.bh) & (vl > mc.bl))
+                    eq = (vh == mc.bh) & (vl == mc.bl)
+                    take = res1 & (~carry_valid | gt | eq)
+                    sig = (cj,)
+                    sig_eq = sig[0] == mc.sig[0]
+                    dapx = (vh + vl) - (mc.bh + mc.bl)
+                    thr = jnp.maximum(
+                        8 * (dist_err + mc.berr),
+                        tie_margin * jnp.maximum(jnp.abs(mc.bh),
+                                                 np.float32(1.0)))
+                    near = res1 & carry_valid & (jnp.abs(dapx) <= thr)
+                    unc = unc | (near & ~(eq & sig_eq))
+                    sel = lambda a, b: jnp.where(take, a, b)
+                    return MC(
+                        q=mc.q + 1,
+                        any=mc.any | res1,
+                        bh=sel(vh, mc.bh), bl=sel(vl, mc.bl),
+                        berr=sel(dist_err, mc.berr),
+                        bj=sel(j_slot, mc.bj),
+                        sig=(sel(sig[0], mc.sig[0]),),
+                        unc=unc, pairs=pairs,
+                    )
+
+                init = MC(q=jnp.ones((), jnp.int32),
+                          any=jnp.zeros(NB, bool),
+                          bh=jnp.full(NB, neg_inf),
+                          bl=jnp.full(NB, neg_inf),
+                          berr=jnp.zeros(NB, jnp.float32),
+                          bj=jnp.full(NB, NB, jnp.int32),
+                          sig=(jnp.full(NB, -1, jnp.int32),),
+                          unc=jnp.zeros(NB, bool),
+                          pairs=jnp.zeros((), jnp.int64))
+                mc = jax.lax.while_loop(lambda c: c.q <= delta, q_body,
+                                        init)
+                t_dst = jnp.where(mc.any & st.alivec, mc.bj,
+                                  np.int32(NB))
+                unc = (mc.unc & st.alivec).any()
+
+                # sequential replay over merge EVENTS (ascending slot ==
+                # ascending rank; a destination j > i is never yet deleted)
+                class RP(NamedTuple):
+                    assign: jnp.ndarray
+                    seq: jnp.ndarray
+                    clen: jnp.ndarray
+                    alivec: jnp.ndarray
+                    pending: jnp.ndarray
+
+                def rp_body(rp: RP):
+                    src = jnp.argmax(rp.pending).astype(jnp.int32)
+                    dst = t_dst[src]
+                    m = rp.assign == src
+                    seq = jnp.where(m, rp.seq + rp.clen[dst], rp.seq)
+                    assign = jnp.where(m, dst, rp.assign)
+                    clen = rp.clen.at[dst].add(rp.clen[src])
+                    clen = clen.at[src].set(0)
+                    return RP(assign=assign, seq=seq, clen=clen,
+                              alivec=rp.alivec.at[src].set(False),
+                              pending=rp.pending.at[src].set(False))
+
+                rp = jax.lax.while_loop(
+                    lambda r_: r_.pending.any(), rp_body,
+                    RP(assign=st.assign, seq=st.seq, clen=st.clen,
+                       alivec=st.alivec,
+                       pending=st.alivec & (t_dst < NB)))
+                return st._replace(assign=rp.assign, seq=rp.seq,
+                                   clen=rp.clen, alivec=rp.alivec), \
+                    unc, mc.pairs
+
+            def iteration(st: St):
+                best_row, mcnt, unc1, pairs1 = recenter(
+                    st, (np.int32(0), np.int32(2 * delta)))
+                # kept-empty + delta>0: center unchanged
+                new_cen = jnp.where(
+                    st.alivec & (mcnt > 0) & (best_row < NB),
+                    jnp.minimum(best_row, NB - 1), st.cen)
+                st2 = st._replace(cen=new_cen)
+                st3, unc2, pairs2 = merge_pass(st2)
+                newC = st3.alivec.sum(dtype=jnp.int32)
+                st3 = st3._replace(
+                    hist=st3.hist.at[st.it].set(newC),
+                    it=st.it + 1,
+                    pairs=st.pairs + pairs1 + pairs2,
+                )
+                return st3, unc1 | unc2
+
+            def body(st: St):
+                prevC = st.alivec.sum(dtype=jnp.int32)
+                stop = (st.it >= 3) & (
+                    prevC == st.hist[jnp.maximum(st.it - 3, 0)])
+                stop = stop | (st.it >= ITER)
+
+                def run_iter(st):
+                    st2, unc = iteration(st)
+                    return jax.lax.cond(
+                        unc,
+                        lambda s: s[0]._replace(abort=np.int32(1),
+                                                done=np.bool_(True)),
+                        lambda s: s[1],
+                        (st, st2),
+                    )
+
+                return jax.lax.cond(
+                    stop,
+                    lambda s: s._replace(done=np.bool_(True)),
+                    run_iter,
+                    st,
+                )
+
+            st = St(
+                assign=assign0, seq=seq0, cen=cen0, alivec=alivec0,
+                clen=clen0,
+                hist=jnp.zeros(ITER, jnp.int32),
+                it=jnp.zeros((), jnp.int32),
+                done=jnp.zeros((), bool),
+                abort=jnp.zeros((), jnp.int32),
+                pairs=jnp.zeros((), jnp.int64),
+            )
+            st = jax.lax.while_loop(lambda s: ~s.done, body, st)
+
+            def final_pass(st: St):
+                best_row, mcnt, unc, pairs = recenter(
+                    st, (np.int32(delta), np.int32(delta)))
+                # kept-empty + delta==0: members[0] = the seq==0 row
+                fm = jnp.zeros(NB, jnp.int32).at[
+                    jnp.where(valid_row & (st.seq == 0), st.assign,
+                              np.int32(NB))
+                ].set(np.arange(NB, dtype=np.int32), mode="drop")
+                new_cen = jnp.where(
+                    st.alivec,
+                    jnp.where((mcnt > 0) & (best_row < NB),
+                              jnp.minimum(best_row, NB - 1), fm),
+                    st.cen)
+                st2 = st._replace(cen=new_cen,
+                                  pairs=st.pairs + pairs)
+                return jax.lax.cond(
+                    unc,
+                    lambda s: s[0]._replace(abort=np.int32(2)),
+                    lambda s: s[1],
+                    (st, st2),
+                )
+
+            st = jax.lax.cond(
+                st.abort == 0, final_pass, lambda s: s, st)
+            return (st.abort, st.it, st.hist, st.assign, st.seq, st.cen,
+                    st.alivec, st.clen, st.pairs)
+
+        return jax.jit(program)
+
+    # -- host API ---------------------------------------------------------------
+
+    def ensure_ready(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        if self._compiled is not None:
+            return
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        S = {
+            "counts": self.store.counts, "mags": self.store.mags,
+            "selfdot": self.store.selfdot, "lens": self.store.lens,
+            "std_h": self.store.std_h, "std_l": self.store.std_l,
+            "blen": self.store.blen, "elen": self.store.elen,
+        }
+        self._S = S
+        NB = self.NB
+        zi = jnp.zeros(NB, jnp.int32)
+        zb = jnp.zeros(NB, bool)
+        prog = self._build()
+        self._compiled = prog.lower(
+            S, zi, zi, zi, zb, zi, np.int32(0)).compile()
+
+    def run(self, clusters) -> Optional[PhaseResult]:
+        """clusters: list of objects with .center_row / .members (natural
+        rows, reference order).  Returns a PhaseResult; None when the slot
+        count exceeds the store's row bucket (cannot happen in practice —
+        slots <= rows)."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        self.ensure_ready()
+        NB = self.NB
+        n = self.ps.n
+        C0 = len(clusters)
+        if C0 > NB:
+            return None
+        assign0 = np.zeros(NB, np.int32)
+        seq0 = np.zeros(NB, np.int32)
+        cen0 = np.zeros(NB, np.int32)
+        alivec0 = np.zeros(NB, bool)
+        clen0 = np.zeros(NB, np.int32)
+        for j, cl in enumerate(clusters):
+            mem = np.asarray(cl.members, dtype=np.int64)
+            assign0[mem] = j
+            seq0[mem] = np.arange(len(mem), dtype=np.int32)
+            cen0[j] = cl.center_row
+            alivec0[j] = True
+            clen0[j] = len(mem)
+        t0 = _time.time()
+        res = self._compiled(
+            self._S, jnp.asarray(assign0), jnp.asarray(seq0),
+            jnp.asarray(cen0), jnp.asarray(alivec0), jnp.asarray(clen0),
+            np.int32(n))
+        abort, it, hist, assign, seq, cen, alivec, clen, pairs = (
+            np.asarray(x) for x in res)
+        self.last_exec_seconds = _time.time() - t0
+        abort = int(abort)
+        it = int(it)
+        assign = assign[:n]
+        seq = seq[:n]
+
+        # reconstruct clusters in slot (creation) order, members by seq
+        order = np.lexsort((seq, assign))
+        a_sorted = assign[order]
+        slots = np.nonzero(alivec)[0]
+        bounds = np.searchsorted(a_sorted, np.concatenate([slots, [NB]]))
+        out = []
+        for k, s in enumerate(slots):
+            mem = order[bounds[k]:bounds[k + 1]]
+            out.append((int(cen[s]), mem.tolist()))
+            if len(mem) != int(clen[s]):  # pragma: no cover - invariant
+                raise RuntimeError("device phase clen mismatch")
+        return PhaseResult(abort=abort, it=it,
+                           hist=[int(h) for h in hist[:it]],
+                           clusters=out, pairs=int(pairs))

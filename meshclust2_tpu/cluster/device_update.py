@@ -66,7 +66,8 @@ class DeviceUpdater:
 
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
                  margin: float = DEFAULT_MARGIN,
-                 tie_margin: float = DEFAULT_TIE_MARGIN):
+                 tie_margin: float = DEFAULT_TIE_MARGIN,
+                 store=None):
         import jax
         import jax.numpy as jnp
 
@@ -81,30 +82,43 @@ class DeviceUpdater:
         self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
             if margin > DEFAULT_MARGIN else float(tie_margin)
         self.pack = _pack_model(model)
-        self_dots = envelope_check(ps)
         self.d = ps.dim
         self.maxc = int(ps.counts.max()) if ps.n else 0
 
-        # rows padded to a bucketed count so every kernel's cache key (and
-        # the accumulate program reusing self.counts, device_loop) depends
-        # only on the bucket, not the exact dataset size; padding rows are
-        # never indexed
-        from .device_loop import _shape_bucket
+        if store is not None:
+            # shared DeviceStore (device_session): uploads happen ONCE per
+            # run — redundant multi-MB uploads through the slow tunnel were
+            # the round-3 bench regression
+            envelope_check(ps)
+            self.counts = store.counts
+            self.mags = store.mags
+            self.selfdot = store.selfdot
+            self.lens = store.lens
+            self.std_h = store.std_h
+            self.std_l = store.std_l
+        else:
+            self_dots = envelope_check(ps)
 
-        nb = _shape_bucket(max(ps.n, 1))
+            # rows padded to a bucketed count so every kernel's cache key
+            # (and the accumulate program reusing self.counts, device_loop)
+            # depends only on the bucket, not the exact dataset size;
+            # padding rows are never indexed
+            from .device_loop import _shape_bucket
 
-        def rowpad(a):
-            out = np.zeros((nb,) + a.shape[1:], dtype=a.dtype)
-            out[: ps.n] = a
-            return jnp.asarray(out)
+            nb = _shape_bucket(max(ps.n, 1))
 
-        self.counts = rowpad(ps.counts)       # natural width
-        self.mags = rowpad(ps.mags.astype(np.int32))
-        self.selfdot = rowpad(self_dots.astype(np.int32))
-        self.lens = rowpad(ps.lengths.astype(np.int32))
-        sh, sl = DD.split_f64(ps.stddevs)
-        self.std_h = rowpad(sh)
-        self.std_l = rowpad(sl)
+            def rowpad(a):
+                out = np.zeros((nb,) + a.shape[1:], dtype=a.dtype)
+                out[: ps.n] = a
+                return jnp.asarray(out)
+
+            self.counts = rowpad(ps.counts)       # natural width
+            self.mags = rowpad(ps.mags.astype(np.int32))
+            self.selfdot = rowpad(self_dots.astype(np.int32))
+            self.lens = rowpad(ps.lengths.astype(np.int32))
+            sh, sl = DD.split_f64(ps.stddevs)
+            self.std_h = rowpad(sh)
+            self.std_l = rowpad(sl)
         # per-point arrays are jit ARGUMENTS, never closure captures: a
         # captured counts array is inlined into the HLO as a multi-MB
         # literal, exploding compile time per pair-count bucket (see

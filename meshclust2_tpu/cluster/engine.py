@@ -179,6 +179,7 @@ class MeanShiftEngine:
         delta: int = 5,
         iterations: int = 15,
         bin_size: int = 1000,
+        device_session=None,
     ):
         self.ps = ps
         self.model = model
@@ -187,6 +188,9 @@ class MeanShiftEngine:
         self.delta = delta
         self.iterations = iterations
         self.bin_size = bin_size
+        # pre-built device state (cluster/device_session.py): store already
+        # uploaded, programs compiled — the clustering phases only execute
+        self.device_session = device_session
         # multihost runs keep histogram rows sharded across processes and
         # fetch the few host-needed rows on demand (parallel/multihost.py)
         self.row_fetcher = None
@@ -362,19 +366,22 @@ class MeanShiftEngine:
             return None
         from .device_loop import DeviceAccumulator, DeviceLoopUnsupported
 
-        try:
-            # the updater's device-resident counts (natural order, padded)
-            # double as the accumulate program's histogram store — one
-            # multi-MB upload per run instead of two
-            updater = self._get_device_updater()
-            acc = DeviceAccumulator(
-                self.ps, self.model, self.sim,
-                shared_counts=None if updater is None else updater.counts)
-        except DeviceLoopUnsupported as e:
-            if forced:
-                raise
-            print(f"device accumulate unavailable ({e}); using host path")
-            return None
+        if self.device_session is not None:
+            acc = self.device_session.accumulator
+        else:
+            try:
+                # the updater's device-resident counts (natural order,
+                # padded) double as the accumulate program's histogram
+                # store — one multi-MB upload per run instead of two
+                updater = self._get_device_updater()
+                acc = DeviceAccumulator(
+                    self.ps, self.model, self.sim,
+                    shared_counts=None if updater is None else updater.counts)
+            except DeviceLoopUnsupported as e:
+                if forced:
+                    raise
+                print(f"device accumulate unavailable ({e}); using host path")
+                return None
         raw, state = acc.run(bv)
         if raw is not None:
             self.stats.windows_scored += 0  # device path does not track these
@@ -442,6 +449,8 @@ class MeanShiftEngine:
         inside the exact-arithmetic envelope; else None (host scoring)."""
         import os
 
+        if self.device_session is not None:
+            return self.device_session.updater
         if hasattr(self, "_updater_cached"):
             return self._updater_cached
         updater = None
@@ -709,6 +718,35 @@ class MeanShiftEngine:
         num_clusters = list(num_clusters) if num_clusters else []
         prog = Progress(self.iterations, "Update")  # ClusterFactory.cpp:634
         prog.set(start_it)
+        if (self.device_session is not None
+                and self.device_session.phase is not None
+                and checkpoint is None and start_it == 0):
+            # whole update phase in ONE device dispatch
+            # (cluster/device_phase.py); on a margin abort the per-iteration
+            # paths below resume from the abort iteration (an abort==2 run
+            # re-breaks immediately in the host loop — the early-stop
+            # condition that ended the device loop holds verbatim — and
+            # only the final delta=0 pass is redone on the host)
+            res = self.device_session.phase.run(clusters)
+            if res is not None:
+                clusters[:] = [Cluster(center_row=c, members=m)
+                               for c, m in res.clusters]
+                self.stats.pairs_scored += res.pairs
+                self.stats.update_iterations += res.it
+                num_clusters.extend(res.hist)
+                start_it = res.it
+                prog.set(res.it)
+                if res.abort == 0:
+                    prog.end()
+                    import os as _os
+
+                    if _os.environ.get("MC2_DEVICE_PROF"):
+                        print(f"device update phase: "
+                              f"{self.device_session.phase.last_exec_seconds:.2f}s, "
+                              f"{res.it} iterations, {res.pairs} pairs")
+                    return
+                print(f"device update phase: guarded abort (stage "
+                      f"{res.abort}) at iteration {res.it}; host continues")
         if self._native_update(clusters, prog, checkpoint, start_it,
                                num_clusters):
             prog.end()

@@ -76,7 +76,11 @@ class CompiledModel:
         normalized = self.normalize(raw)
         combo = self.combo_matrix(normalized)
         s = self.weights[0] + combo @ self.weights[1:]
-        prob = 1.0 / (1.0 + np.exp(-s)) + self.bias
+        # clamp the logistic argument: exp(709+) overflows f64 with a
+        # RuntimeWarning; the result saturates identically (exp(-709) ~
+        # 1e-308 makes prob exactly 0.0/1.0 either way, so decisions are
+        # unchanged)
+        prob = 1.0 / (1.0 + np.exp(-np.clip(s, -709.0, 709.0))) + self.bias
         dist = combo[:, 0] if combo.shape[1] else np.zeros(len(raw))
         return s, prob, dist
 
