@@ -156,15 +156,49 @@ def run_reference(exe: str, fasta: str, weights: str, retries: int = 5) -> float
     return None
 
 
+LAST_BREAKDOWN: dict | None = None
+
+
+def parse_phase_breakdown(text: str, ts: dict) -> dict:
+    """Device-path phase split from the MC2_DEVICE_PROF lines + timestamps
+    (VERDICT r3: the bench must record where TPU time goes)."""
+    out = {}
+    m = re.search(r"device session: store\+updater ([0-9.]+)s, accumulate "
+                  r"ready ([0-9.]+)s, phase ready ([0-9.]+)s, force "
+                  r"([0-9.]+)s", text)
+    if m:
+        out["bringup_store_s"] = float(m.group(1))
+        out["bringup_accumulate_compile_s"] = float(m.group(2))
+        out["bringup_phase_compile_s"] = float(m.group(3))
+        out["bringup_upload_force_s"] = float(m.group(4))
+    m = re.search(r"device accumulate: prepare ([0-9.]+)s, lower ([0-9.]+)s, "
+                  r"compile ([0-9.]+)s, execute ([0-9.]+)s, (\d+) steps",
+                  text)
+    if m:
+        out["accumulate_execute_s"] = float(m.group(4))
+        out["accumulate_steps"] = int(m.group(5))
+    m = re.search(r"device update phase: ([0-9.]+)s, (\d+) iterations, "
+                  r"(\d+) pairs", text)
+    if m:
+        out["update_execute_s"] = float(m.group(1))
+        out["update_iterations"] = int(m.group(2))
+        out["update_pairs"] = int(m.group(3))
+    if "done" in ts and "read_in_points" in ts:
+        out["clustering_window_s"] = round(ts["done"] - ts["read_in_points"], 3)
+    return out
+
+
 def run_ours(fasta: str, weights: str, device: str,
              timeout: int = 3600, retries: int = 1) -> float | None:
     """One clustering run in a subprocess (a wedged TPU tunnel must not hang
     the bench).  Returns seqs/s or None."""
+    global LAST_BREAKDOWN
     out = os.path.join(BENCH_DIR, f"ours_out_{device}_{N_SEQS}.clstr")
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env["MC2_DEVICE_PROBE_TIMEOUT"] = env.get("MC2_DEVICE_PROBE_TIMEOUT", "0")
+    env.setdefault("MC2_DEVICE_PROF", "1")
     for attempt in range(retries + 1):
         try:
             p = subprocess.run(
@@ -182,6 +216,8 @@ def run_ours(fasta: str, weights: str, device: str,
         sys.stderr.write((p.stdout or "")[-1500:] + "\n")
         ts = parse_timestamps(p.stdout or "")
         if p.returncode == 0 and "done" in ts and "read_in_points" in ts:
+            if device == "tpu":
+                LAST_BREAKDOWN = parse_phase_breakdown(p.stdout or "", ts)
             return N_SEQS / (ts["done"] - ts["read_in_points"])
         log(f"ours ({device}) attempt {attempt}: rc={p.returncode} "
             f"{(p.stderr or '')[-400:]}")
@@ -235,6 +271,8 @@ def main() -> int:
     vs = (ours / ref_rate) if ref_rate else None
     extra = {f"{d}_seqs_per_sec": round(v, 2)
              for d, v in results.items() if v and d != device}
+    if device == "tpu" and LAST_BREAKDOWN:
+        extra["tpu_phase_breakdown"] = LAST_BREAKDOWN
     print(json.dumps({
         "metric": f"seqs_per_sec_cluster_{N_SEQS}_id0.9_recover_{device}",
         "value": round(ours, 2),

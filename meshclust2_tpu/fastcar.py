@@ -419,6 +419,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     delim = "!" if args.noformat else "\t"
     n_pos = 0
+    # the reference opens one `<output>N` ofstream per OpenMP thread
+    # upfront (FC_Runner.cpp:556-560) and each thread appends its own
+    # matches; WHICH file a match lands in is scheduler-dependent there.
+    # This implementation creates the same file set for -t N but writes
+    # all matches (deterministically) to `<output>0`.
+    for t in range(1, max(args.threads, 1)):
+        open(f"{args.output}{t}", "w").close()
     mem_used("before loop")  # FC_Runner.cpp:571
     with open(f"{args.output}0", "w") as out:
         for q_ps in load_chunks(args.query, k, datatype, args.chunk):
