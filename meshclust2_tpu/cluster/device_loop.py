@@ -62,12 +62,23 @@ DD_DERIVABLE = frozenset({
     F.FEAT_LENGTHD,
 })
 
+# log-divergence singles (--feat slow adds these, CRunner.cpp:366-378):
+# computed per pair from the count blocks as f32 with propagated ABSOLUTE
+# error bounds — the probability ratios are exact integer ratios
+# (p_i/mp) / (q_i/mq) = (p_i*mq) / (q_i*mp), so only the final f32
+# divisions/logs round, and the margin machinery covers the difference
+# from the host's f64 values
+LOG_DERIVABLE = frozenset({F.FEAT_JEFFEREY_DIV, F.FEAT_JENSEN_SHANNON})
+
 # relative margin under which a decision is "uncertain" and the device
 # aborts to the host oracle.  dd-f32 carries ~3e-14 relative error and the
 # identity-form singles differ from the host's direct sums by <~1e-11
 # (worst case: pearson's cancelling covariance), so 1e-8 leaves >2 orders
-# of headroom while tripping ~never on real data.
-DEFAULT_MARGIN = float(os.environ.get("MC2_DD_MARGIN", "1e-8"))
+# of headroom while tripping ~never on real data.  Read at CONSTRUCTION
+# time (not import) so tests can force margins per run.
+def DEFAULT_MARGIN() -> float:
+    return float(os.environ.get("MC2_DD_MARGIN", "1e-8"))
+
 
 # tie margin for comparing two values produced by the SAME dd pipeline
 # (dist argmax, distance_d argmin): the identity-vs-direct formula
@@ -75,7 +86,18 @@ DEFAULT_MARGIN = float(os.environ.get("MC2_DD_MARGIN", "1e-8"))
 # relative dd error matters; 1e-10 keeps 3 orders of headroom.  (The first
 # real-chip med2000 run aborted at stage 2 because genuine ~1e-8-relative
 # distance_d gaps fell inside the old shared 1e-8 margin.)
-DEFAULT_TIE_MARGIN = float(os.environ.get("MC2_DD_TIE_MARGIN", "1e-10"))
+def DEFAULT_TIE_MARGIN() -> float:
+    return float(os.environ.get("MC2_DD_TIE_MARGIN", "1e-10"))
+
+
+def resolve_margins(margin, tie_margin):
+    """(margin, tie_margin) with env defaults and the forced-margin rule:
+    a forced-huge decision margin must drag the tie margin with it."""
+    m = float(DEFAULT_MARGIN() if margin is None else margin)
+    t = float(DEFAULT_TIE_MARGIN() if tie_margin is None else tie_margin)
+    if m > 1e-8:
+        t = max(t, m * 1e-2)
+    return m, t
 
 _WC = 2048  # scan chunk rows (static shape inside the loop)
 
@@ -107,21 +129,84 @@ def stat_needs(singles) -> Tuple[bool, bool, bool]:
     return (bool(s & _NEED_SUMMIN), bool(s & _NEED_DOT), F.FEAT_EMD in s)
 
 
-def emd_rowsum(jax, jnp, diff_i32, d: int):
+def log_needs(singles) -> Tuple[bool, bool]:
+    s = set(singles)
+    return (F.FEAT_JEFFEREY_DIV in s, F.FEAT_JENSEN_SHANNON in s)
+
+
+def log_div_stats(jnp, A, B, magA, magB, need_jd: bool, need_js: bool):
+    """Jefferey and Jensen-Shannon divergences (Feature.cpp:956-978,
+    984-1009) for int32 count blocks A, B [W, D] with pseudo-magnitudes
+    magA, magB [W].  Returns (jd, js, jd_err, js_err) float32 [W]; the err
+    arrays are ABSOLUTE bounds on |device - host f64|.
+
+    Exactness: p_i/mp / (q_i/mq) = (p_i*mq)/(q_i*mp) — the numerators are
+    exact int64 products < 2^31 (envelope: maxc * maxmag), so each log
+    argument rounds exactly once to f32 (~6e-8 rel), giving ~2e-7 absolute
+    error per log term; per-term and tree-summation errors are bounded by
+    the companion |term| sums with 4-5x safety factors."""
+    W = A.shape[0]
+    z = np.zeros((W,), np.float32)
+    if not (need_jd or need_js):
+        return z, z, z, z
+    i64 = lambda v: v.astype(jnp.int64)
+    f32 = lambda v: v.astype(jnp.float32)
+    mA = i64(magA)[:, None]
+    mB = i64(magB)[:, None]
+    ppn = f32(i64(A) * mB)            # exact ints, one f32 rounding
+    pqn = f32(i64(B) * mA)
+    magAf = f32(magA)
+    magBf = f32(magB)
+    if need_jd:
+        dnum = f32(i64(A) * mB - i64(B) * mA)   # exact int difference
+        lr = jnp.log(ppn / pqn)
+        term = dnum * lr
+        invm = np.float32(1.0) / (magAf * magBf)
+        jd = term.sum(axis=1) * invm
+        jd_err = (np.float32(1e-6) * jnp.abs(dnum).sum(axis=1)
+                  + np.float32(4e-6) * jnp.abs(term).sum(axis=1)) * invm
+    else:
+        jd, jd_err = z, z
+    if need_js:
+        sn = ppn + pqn
+        lp = jnp.log(2.0 * ppn / sn)
+        lq = jnp.log(2.0 * pqn / sn)
+        ta = f32(A) * lp
+        tb = f32(B) * lq
+        js = np.float32(0.5) * (ta.sum(axis=1) / magAf
+                                + tb.sum(axis=1) / magBf)
+        js_abs = np.float32(0.5) * (jnp.abs(ta).sum(axis=1) / magAf
+                                    + jnp.abs(tb).sum(axis=1) / magBf)
+        # sum_i A_i / magA == 1 exactly, hence the constant first bound
+        js_err = np.float32(1e-6) + np.float32(4e-6) * js_abs
+    else:
+        js, js_err = z, z
+    return jd, js, jd_err, js_err
+
+
+def emd_rowsum(jax, jnp, diff_i32, d: int, maxc: int = 1 << 30):
     """sum_j |prefix_j(diff)| per row as int64, via blocked triangular
     matmuls on the MXU (the same decomposition as ops/pallas_stats.py's
     kernel).  jnp.cumsum lowers to a log-depth shift/add chain on TPU —
     ~10 full passes over the block, which dominated the scan step — while
     D/128 [WC,128]x[128,128] matmuls are near-free on the MXU.  float32 is
-    exact throughout (|prefix| <= pseudo-magnitude < 2^24, envelope_check);
-    Precision.HIGHEST keeps wide-count diffs exact on the MXU's bf16 passes.
+    exact throughout (|prefix| <= pseudo-magnitude < 2^24, envelope_check).
     Per-block |prefix| sums stay < 128 * 2^24 < 2^31 (int32-exact); the
     running total accumulates in int64, so the EMD stat cannot wrap for any
-    in-envelope input (the old int32 total could overflow at d * 2^24)."""
+    in-envelope input (the old int32 total could overflow at d * 2^24).
+
+    Precision: when the per-bin counts fit bf16's 8-bit integer range
+    (maxc <= 256, every uint8 dataset) the diffs are EXACT in bf16 and the
+    0/1 triangular factor trivially so — one DEFAULT-precision pass
+    (measured ~5.9 TFLOP/s on this chip) replaces the 6-pass HIGHEST
+    decomposition (~1.09 TFLOP/s); products <= 256 and 128-term f32 MXU
+    accumulation keep everything exact either way."""
     wc = diff_i32.shape[0]
     blk = 128 if d % 128 == 0 and d >= 128 else d
     tri = np.triu(np.ones((blk, blk), np.float32))
     diff = diff_i32.astype(jnp.float32)
+    precision = (jax.lax.Precision.DEFAULT if maxc <= 256
+                 else jax.lax.Precision.HIGHEST)
     # np literals, not jnp: trace-time jnp arrays become device-resident
     # jaxpr constants that MLIR lowering fetches back over the tunnel
     emd = np.zeros((wc,), np.int64)
@@ -130,7 +215,7 @@ def emd_rowsum(jax, jnp, diff_i32, d: int):
         pref = jax.lax.dot_general(
             diff[:, b * blk:(b + 1) * blk], tri,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32,
         ) + carry
         emd = emd + jnp.abs(pref).astype(jnp.int32).sum(
@@ -174,11 +259,12 @@ class _ModelPack(NamedTuple):
     combos: tuple              # ((kind, idxs), ...)
     weights: tuple             # host f64, [0] = intercept
     pos_edge: float            # f64 GLM-sum edge for round(prob) > 0
+    has_log: bool              # any LOG_DERIVABLE single selected
 
 
 def _pack_model(model: CompiledModel) -> _ModelPack:
     singles = tuple(model.singles)
-    if not set(singles) <= DD_DERIVABLE:
+    if not set(singles) <= (DD_DERIVABLE | LOG_DERIVABLE):
         raise DeviceLoopUnsupported(f"singles {singles} not dd-derivable")
     edge = TH.positive_edge(model.bias)
     if not math.isfinite(edge):
@@ -192,6 +278,7 @@ def _pack_model(model: CompiledModel) -> _ModelPack:
         combos=tuple((kind, tuple(idxs)) for kind, idxs in model.combos),
         weights=tuple(float(w) for w in model.weights),
         pos_edge=float(edge),
+        has_log=bool(set(singles) & LOG_DERIVABLE),
     )
 
 
@@ -216,7 +303,7 @@ def envelope_check(ps, model_singles_checked=True):
         raise DeviceLoopUnsupported("pseudo-magnitude >= 2^24")
     if maxc * maxmag >= 2**31:
         raise DeviceLoopUnsupported("dot product >= 2^31")
-    if maxc * _WC >= 2**31:
+    if maxc * 4 * _WC >= 2**31:  # widest scan chunk (large-pool setting)
         raise DeviceLoopUnsupported("chunk column sums >= 2^31")
     if int(ps.lengths.max()) >= 2**31:
         raise DeviceLoopUnsupported("length >= 2^31")
@@ -342,6 +429,14 @@ def derive_singles_dd(pack, d, jnp, stats, a, b):
             elif flag == F.FEAT_EMD:
                 out.append(dd_i(i64(emd)))
                 errs.append(jnp.zeros_like(out[-1][0]))
+            elif flag == F.FEAT_JEFFEREY_DIV:
+                # f32 value with an explicit absolute error bound
+                # (log_div_stats); the lo limb is zero by construction
+                out.append((stats["jd"], jnp.zeros_like(stats["jd"])))
+                errs.append(stats["jd_err"])
+            elif flag == F.FEAT_JENSEN_SHANNON:
+                out.append((stats["js"], jnp.zeros_like(stats["js"])))
+                errs.append(stats["js_err"])
             elif flag == F.FEAT_LENGTHD:
                 la, lb = i64(a["lens"]), i64(b["lens"])
                 out.append(dd_i(jnp.abs(la - lb)))
@@ -442,18 +537,13 @@ class DeviceAccumulator:
     """
 
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
-                 margin: float = DEFAULT_MARGIN,
-                 tie_margin: float = DEFAULT_TIE_MARGIN,
+                 margin: Optional[float] = None,
+                 tie_margin: Optional[float] = None,
                  shared_counts=None):
         self.ps = ps
         self.model = model
         self.sim = float(sim)
-        self.margin = float(margin)
-        # ties compare values from the same dd pipeline: only dd error
-        # applies, but a forced-huge decision margin (tests, MC2_DD_MARGIN)
-        # must drag the tie margin with it
-        self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
-            if margin > DEFAULT_MARGIN else float(tie_margin)
+        self.margin, self.tie_margin = resolve_margins(margin, tie_margin)
         self.pack = _pack_model(model)
         # counts already resident on the device in natural row order (the
         # DeviceUpdater's upload): the program then permutes on device from
@@ -464,6 +554,10 @@ class DeviceAccumulator:
 
         self._self_dots = envelope_check(ps)
         self._d = ps.dim
+        # scan chunk rows: window flat-spans grow with n (they cover dead
+        # rows too), so large pools use wider chunks — fewer inner loop
+        # iterations for the same masked work
+        self._wc = int(os.environ.get("MC2_DEV_WC", "0")) or _WC
 
     # -- host-side preparation ------------------------------------------------
 
@@ -490,7 +584,7 @@ class DeviceAccumulator:
         # bucketed padded shapes: the compiled program depends only on
         # (npad, nb_pad, D, dtype, model), so nearby dataset sizes reuse the
         # XLA compile cache; n itself is a runtime scalar argument
-        npad = _shape_bucket(n + _WC + 8)
+        npad = _shape_bucket(n + self._wc + 8)
         nb_pad = _shape_bucket(nb, floor=8)
 
         def padded(a, fill, dtype):
@@ -535,7 +629,72 @@ class DeviceAccumulator:
         sh, sl = DD.split_f64(ps.stddevs[order])
         dev["std_h"] = padded(sh, 1.0, np.float32)
         dev["std_l"] = padded(sl, 0.0, np.float32)
+        dev.update(self._fresh_carry(n, npad, order))
         return host, dev
+
+    def _fresh_carry(self, n: int, npad: int, order: np.ndarray) -> dict:
+        """Initial loop state as ARGUMENTS (so an abort-resume can relaunch
+        the same compiled program from an arbitrary point)."""
+        alive0 = np.zeros(npad, bool)
+        alive0[:n] = True
+        assign0 = np.full(npad, -1, np.int32)
+        astep0 = np.zeros(npad, np.int32)
+        msum0 = np.zeros(self._d, np.int64)
+        if n:
+            alive0[0] = False          # first pop seeds cluster 0
+            assign0[0] = 0
+            msum0[:] = self.ps.counts[order[0]].astype(np.int64)
+        return {
+            "alive0": alive0, "assign0": assign0, "astep0": astep0,
+            "centers0": np.zeros(npad, np.int32),
+            "cid0": np.int32(0), "stepc0": np.int32(1),
+            "cur0": np.int32(0), "msum0": msum0, "mcnt0": np.int32(1),
+            "envlo0": np.int32(0), "envhi0": np.int32(1),
+            "done0": np.bool_(n == 0),
+        }
+
+    def make_carry(self, clusters_done, current_rows, last_row,
+                   alive_rows) -> dict:
+        """Loop state equivalent to: `clusters_done` complete, the open
+        cluster holding `current_rows` (reference member order) centered on
+        `last_row`, and `alive_rows` still in the pool.  Used to re-enter
+        the device program after the host resolves ONE margin-uncertain
+        step exactly."""
+        host = self._ready[0]
+        n = host["n"]
+        npad = int(self._ready[1]["lens"].shape[0])
+        # natural row -> flat position under the ORIGINAL bvec layout
+        pos = np.empty(self.ps.n, np.int64)
+        pos[host["order"]] = np.arange(n)
+        alive0 = np.zeros(npad, bool)
+        if len(alive_rows):
+            alive0[pos[np.asarray(alive_rows, dtype=np.int64)]] = True
+        assign0 = np.full(npad, -1, np.int32)
+        astep0 = np.zeros(npad, np.int32)
+        centers0 = np.zeros(npad, np.int32)
+        for c, (center, members) in enumerate(clusters_done):
+            mflat = pos[np.asarray(members, dtype=np.int64)]
+            assign0[mflat] = c
+            astep0[mflat] = np.arange(len(members), dtype=np.int32)
+            centers0[c] = pos[center]
+        cid0 = len(clusters_done)
+        cur = np.asarray(current_rows, dtype=np.int64)
+        cflat = pos[cur]
+        assign0[cflat] = cid0
+        astep0[cflat] = np.arange(len(cur), dtype=np.int32)
+        msum0 = self.ps.counts[cur].astype(np.int64).sum(axis=0)
+        return {
+            "alive0": alive0, "assign0": assign0, "astep0": astep0,
+            "centers0": centers0,
+            "cid0": np.int32(cid0),
+            # future absorb stamps must exceed every position index used
+            "stepc0": np.int32(n + 2),
+            "cur0": np.int32(pos[last_row]),
+            "msum0": msum0, "mcnt0": np.int32(len(cur)),
+            "envlo0": np.int32(cflat.min()),
+            "envhi0": np.int32(cflat.max() + 1),
+            "done0": np.bool_(False),
+        }
 
     # -- dd epilogue ------------------------------------------------------------
 
@@ -562,13 +721,15 @@ class DeviceAccumulator:
         npad = len(dev["lens"])
         D = (dev["counts_nat"] if "counts_nat" in dev
              else dev["counts"]).shape[1]
-        WC = _WC
+        WC = self._wc
         margin = np.float32(self.margin)
         tie_margin = np.float32(self.tie_margin)
         edge_dd = DD.dd(*(np.float32(x) for x in
                           DD.split_f64(np.float64(self.pack.pos_edge))))
         edge_scale = np.float32(max(abs(self.pack.pos_edge), 1.0))
         need_summin, need_dot, need_emd = stat_needs(self.pack.singles)
+        need_jd, need_js = log_needs(self.pack.singles)
+        MAXC = int(self.ps.counts.max()) if self.ps.n else 0
         NONE = np.int32(npad)
 
         C = None  # bound to the traced argument dict by program()
@@ -588,6 +749,8 @@ class DeviceAccumulator:
             done: jnp.ndarray        # bool
             abort: jnp.ndarray       # int32 0/1/2
             iters: jnp.ndarray       # int32 safety counter
+            wins: jnp.ndarray        # int32 windows scanned (stats)
+            pairs: jnp.ndarray       # int64 length-passed pairs scored
 
         def row_i32(p):
             return jax.lax.dynamic_slice(C["counts"], (p, np.int32(0)), (1, D))[0].astype(jnp.int32)
@@ -600,7 +763,7 @@ class DeviceAccumulator:
                 "lens": C["lens"][p],
             }
 
-        def scan_window(st: "Carry", rank, posr, gfront, gback, p_lo, p_hi,
+        def scan_window(st: "Carry", rank, gfront, gback, p_lo, p_hi,
                         blen_c, elen_c):
             """Chunked window scan: classifier + dist argmax + absorb prep."""
             cc = row_i32(st.cur)
@@ -619,6 +782,7 @@ class DeviceAccumulator:
                 msum: jnp.ndarray        # [D] int64 absorbed sums
                 mcnt: jnp.ndarray
                 pmask: jnp.ndarray       # [npad] bool positives
+                npairs: jnp.ndarray      # int64 length-passed rows scored
 
             zero_sig = (np.int32(0), np.int32(0), np.int64(0),
                         np.int32(0), np.int32(0), np.int32(0),
@@ -636,14 +800,25 @@ class DeviceAccumulator:
                 ll = jax.lax.dynamic_slice(C["lens"], (start_c,), (WC,))
                 msk = in_rng & aliv & (rk >= gfront) & (rk < gback)
                 pass_m = msk & (ll >= blen_c) & (ll <= elen_c)
+                # chunks with no candidate skip the whole scoring pipeline
+                # (real branching on TPU): window flat-spans cover dead rows
+                # and grow with n, so late-phase scans are mostly empty —
+                # every update below is a no-op when pass_m is all-False
+                return jax.lax.cond(
+                    pass_m.any(),
+                    lambda a: _chunk_heavy(*a),
+                    lambda a: a[0]._replace(j=a[0].j + 1),
+                    (sc, start_c, pass_m, ll),
+                )
 
+            def _chunk_heavy(sc: SC, start_c, pass_m, ll):
                 blk = jax.lax.dynamic_slice(
                     C["counts"], (start_c, np.int32(0)), (WC, D)).astype(jnp.int32)
                 summin = (jnp.minimum(blk, cc[None, :]).sum(axis=1, dtype=jnp.int32)
                           if need_summin else np.zeros((WC,), np.int32))
                 dot = ((blk * cc[None, :]).sum(axis=1, dtype=jnp.int32)
                        if need_dot else np.zeros((WC,), np.int32))
-                emd = (emd_rowsum(jax, jnp, blk - cc[None, :], D)
+                emd = (emd_rowsum(jax, jnp, blk - cc[None, :], D, maxc=MAXC)
                        if need_emd else np.zeros((WC,), np.int64))
 
                 b_side = {
@@ -662,6 +837,11 @@ class DeviceAccumulator:
                 }
                 # reference order: feat->compute(candidate, center)
                 stats = {"summin": summin, "dot": dot, "emd": emd}
+                if need_jd or need_js:
+                    jd, js, jde, jse = log_div_stats(
+                        jnp, blk, jnp.broadcast_to(cc[None, :], (WC, D)),
+                        b_side["mags"], a_bc["mags"], need_jd, need_js)
+                    stats.update(jd=jd, js=js, jd_err=jde, js_err=jse)
                 singles = self._derive_singles_dd(jnp, stats, b_side, a_bc)
                 s_dd, dist_dd, s_err, dist_err = self._epilogue_dd(jnp, singles)
 
@@ -683,12 +863,21 @@ class DeviceAccumulator:
                 cand = is_mh & (vl == ml)
                 first_i = jnp.argmax(cand)
                 chunk_any = pass_m.any()
-                sig = (summin, dot, emd, b_side["mags"], b_side["selfdot"],
-                       ll, b_side["std"][0], b_side["std"][1])
+                # jnp.asarray: unused stats are numpy zero placeholders
+                # (so XLA dead-code-eliminates their computation), which
+                # cannot be indexed by the traced first_i directly
+                sig = tuple(jnp.asarray(x) for x in (
+                    summin, dot, emd, b_side["mags"], b_side["selfdot"],
+                    ll, b_side["std"][0], b_side["std"][1]))
                 bsig = tuple(x[first_i] for x in sig)
                 sig_eq_best = pass_m
                 for x, bx in zip(sig, bsig):
                     sig_eq_best &= (x == bx)
+                if self.pack.has_log:
+                    # log divergences depend on the FULL count vectors, not
+                    # the summary stats — an "exact tie" is only certified
+                    # when the candidate rows are identical
+                    sig_eq_best &= (blk == blk[first_i][None, :]).all(axis=1)
                 vexact_eq = (vh == vh[first_i]) & (vl == vl[first_i])
                 scale = jnp.maximum(jnp.abs(mh), np.float32(1.0))
                 tie_thr = jnp.maximum(8 * (dist_err + dist_err[first_i]),
@@ -708,6 +897,11 @@ class DeviceAccumulator:
                 sig_eq_carry = np.bool_(True)
                 for bx, cx in zip(bsig, sc.bsig):
                     sig_eq_carry &= (bx == cx)
+                if self.pack.has_log:
+                    # certify cross-chunk exact ties by row identity (the
+                    # summary signature does not determine log divergences)
+                    crow = row_i32(jnp.minimum(sc.bpos, np.int32(npad - 1)))
+                    sig_eq_carry &= (blk[first_i] == crow).all()
                 dapx = (vh[first_i] + vl[first_i]) - (sc.bh + sc.bl)
                 cross_thr = jnp.maximum(
                     8 * (dist_err[first_i] + sc.berr),
@@ -735,6 +929,7 @@ class DeviceAccumulator:
                     msum=sc.msum + csum.astype(jnp.int64),
                     mcnt=sc.mcnt + pos.sum(dtype=jnp.int32),
                     pmask=pmask,
+                    npairs=sc.npairs + pass_m.sum(dtype=jnp.int64),
                 )
 
             init = SC(
@@ -743,6 +938,7 @@ class DeviceAccumulator:
                 bsig=zero_sig, any_pos=np.bool_(False), uncert=np.bool_(False),
                 msum=np.zeros(D, np.int64), mcnt=np.int32(0),
                 pmask=np.zeros(npad, bool),
+                npairs=np.int64(0),
             )
             sc = jax.lax.while_loop(lambda s: s.j < nchunks, chunk_body, init)
             return sc
@@ -791,6 +987,17 @@ class DeviceAccumulator:
                 asg = jax.lax.dynamic_slice(st.assign, (start_c,), (WC,))
                 stp = jax.lax.dynamic_slice(st.astep, (start_c,), (WC,))
                 memb = in_rng & (asg == st.cid)
+                # member-free chunks skip the distance pipeline (the member
+                # envelope spans many non-member rows); every update below
+                # is a no-op when memb is all-False
+                return jax.lax.cond(
+                    memb.any(),
+                    lambda a: _mc_heavy(*a),
+                    lambda a: a[0]._replace(j=a[0].j + 1),
+                    (mc, start_c, offs, memb, stp),
+                )
+
+            def _mc_heavy(mc: MC, start_c, offs, memb, stp):
                 blk = jax.lax.dynamic_slice(
                     C["counts"], (start_c, np.int32(0)), (WC, D)).astype(jnp.int32)
                 dist2 = 2 * jnp.minimum(blk, r[None, :]).sum(axis=1, dtype=jnp.int32)
@@ -867,11 +1074,14 @@ class DeviceAccumulator:
             # alive rank at each bin start; bins are contiguous in flat order
             ras = jnp.concatenate([rank[C["bin_start"]][:nb], total[None]])
             bin_cnt = ras[1:] - ras[:-1]
-            idxs = jnp.where(st.alive, rank, np.int32(npad))
-            # full_like on the traced lens array: a concrete jnp scatter
-            # operand would be a device constant (lowering fetches those)
-            posr = jnp.full_like(C["lens"], npad).at[idxs].set(
-                np.arange(npad, dtype=np.int32), mode="drop")
+
+            # flat position of the g-th alive row (0-based): crank is a
+            # nondecreasing cumsum, so this is one log-depth searchsorted —
+            # the previous full-[npad] scatter was the dominant fixed cost
+            # per step at large n (131072-wide scatter every iteration)
+            def posr_at(g):
+                return jnp.searchsorted(crank, g + 1, side="left"
+                                        ).astype(jnp.int32)
 
             blen_c = C["blen"][st.cur]
             elen_c = C["elen"][st.cur]
@@ -898,14 +1108,15 @@ class DeviceAccumulator:
             gfront = ras[fb] + fslot
             gback = ras[bb] + bslot
             have_window = any_ne & (gback > gfront)
-            p_lo = jnp.where(have_window, posr[jnp.where(have_window, gfront, 0)], 0)
+            p_lo = jnp.where(have_window,
+                             posr_at(jnp.where(have_window, gfront, 0)), 0)
             p_hi = jnp.where(
                 have_window,
-                posr[jnp.where(have_window, gback - 1, 0)] + 1,
+                posr_at(jnp.where(have_window, gback - 1, 0)) + 1,
                 0,
             )
 
-            sc = scan_window(st, rank, posr, gfront, gback, p_lo, p_hi,
+            sc = scan_window(st, rank, gfront, gback, p_lo, p_hi,
                              blen_c, elen_c)
             is_min = ~sc.any_pos
             best_valid = sc.bpos != NONE
@@ -915,7 +1126,7 @@ class DeviceAccumulator:
 
             def min_case(st: Carry):
                 centers = st.centers.at[st.cid].set(st.cur)
-                seed = jnp.where(best_valid, sc.bpos, posr[0])
+                seed = jnp.where(best_valid, sc.bpos, posr_at(np.int32(0)))
                 none_left = (~best_valid) & (total == 0)
                 seed_row = jnp.where(none_left, 0, seed)
                 alive = st.alive.at[seed_row].set(
@@ -954,6 +1165,10 @@ class DeviceAccumulator:
                     st2,
                 )
 
+            st = st._replace(
+                wins=st.wins + have_window.astype(jnp.int32),
+                pairs=st.pairs + sc.npairs,
+            )
             st = jax.lax.cond(
                 sc.uncert,
                 uncertain_case,
@@ -981,24 +1196,22 @@ class DeviceAccumulator:
             def cond(st: Carry):
                 return (~st.done) & (st.iters < max_iters)
 
-            alive = np.arange(npad, dtype=np.int32) < n_s
-            alive = alive.at[0].set(False)  # first pop
-            assign = jnp.full_like(C["lens"], -1).at[0].set(
-                jnp.where(n_s > 0, 0, -1))
-            astep = jnp.zeros_like(C["lens"])
+            # initial state from ARGUMENTS: a fresh run passes the
+            # first-pop state (_fresh_carry); an abort-resume passes the
+            # host-resolved continuation point (make_carry)
             st = Carry(
-                alive=alive, assign=assign, astep=astep,
-                centers=np.zeros(npad, np.int32),
-                cid=np.int32(0), stepc=np.int32(1), cur=np.int32(0),
-                msum=row_i32(np.int32(0)).astype(jnp.int64),
-                mcnt=np.int32(1),
-                env_lo=np.int32(0), env_hi=np.int32(1),
-                done=n_s == 0, abort=np.int32(0),
+                alive=C["alive0"], assign=C["assign0"], astep=C["astep0"],
+                centers=C["centers0"],
+                cid=C["cid0"], stepc=C["stepc0"], cur=C["cur0"],
+                msum=C["msum0"], mcnt=C["mcnt0"],
+                env_lo=C["envlo0"], env_hi=C["envhi0"],
+                done=C["done0"], abort=np.int32(0),
                 iters=np.int32(0),
+                wins=np.int32(0), pairs=np.int64(0),
             )
             st = jax.lax.while_loop(cond, body, st)
             return (st.abort, st.cid, st.cur, st.alive, st.assign,
-                    st.astep, st.centers, st.iters)
+                    st.astep, st.centers, st.iters, st.wins, st.pairs)
 
         return jax.jit(program)
 
@@ -1033,10 +1246,13 @@ class DeviceAccumulator:
         return (len(order) == host["n"]
                 and np.array_equal(order, host["order"]))
 
-    def run(self, bv: BVec):
+    def run(self, bv: BVec, carry: Optional[dict] = None):
         """Returns (clusters_raw, None) on completion, or (None, ResumeState)
         on a guarded abort.  clusters_raw is a list of (center_row,
-        [member_rows...]) in creation order."""
+        [member_rows...]) in creation order.  `carry` (from make_carry)
+        re-enters the precompiled program at a host-resolved continuation
+        point; bv is then ignored for preparation (the carry encodes the
+        pool state) but still received for interface symmetry."""
         import jax
 
         if not jax.config.jax_enable_x64:
@@ -1045,7 +1261,14 @@ class DeviceAccumulator:
 
         profile = bool(os.environ.get("MC2_DEVICE_PROF"))
         t0 = time.time()
-        if self._ready_matches(bv):
+        if carry is not None:
+            import jax.numpy as jnp
+
+            host, Cdev, compiled = self._ready
+            Cdev = dict(Cdev)
+            Cdev.update({k: jnp.asarray(v) for k, v in carry.items()})
+            t1 = t1b = t2 = time.time()
+        elif self._ready_matches(bv):
             host, Cdev, compiled = self._ready
             t1 = t1b = t2 = time.time()
         else:
@@ -1060,15 +1283,18 @@ class DeviceAccumulator:
             compiled = lowered.compile()
             t2 = time.time()
         res = compiled(Cdev)
-        abort, cid, cur, alive, assign, astep, centers, iters = (
-            np.asarray(x) for x in res)
+        (abort, cid, cur, alive, assign, astep, centers, iters, wins,
+         pairs) = (np.asarray(x) for x in res)
         t3 = time.time()
         self.last_exec_seconds = t3 - t2
         self.last_steps = int(iters)
+        self.last_windows = int(wins)
+        self.last_pairs = int(pairs)
         if profile:
             print(f"device accumulate: prepare {t1 - t0:.2f}s, "
                   f"lower {t1b - t1:.2f}s, compile {t2 - t1b:.2f}s, "
-                  f"execute {t3 - t2:.2f}s, {int(iters)} steps")
+                  f"execute {t3 - t2:.2f}s, {int(iters)} steps, "
+                  f"{int(wins)} windows, {int(pairs)} pairs")
         n = host["n"]
         alive, assign, astep = alive[:n], assign[:n], astep[:n]
         order = host["order"]

@@ -45,13 +45,14 @@ from ..model import thresholds as TH
 from ..kmer.counting import PointSet
 from ..ops import ddf32 as DD
 from .device_loop import (
-    DEFAULT_MARGIN,
-    DEFAULT_TIE_MARGIN,
     DeviceLoopUnsupported,
+    resolve_margins,
     _pack_model,
     derive_singles_dd,
     emd_rowsum,
     epilogue_dd,
+    log_div_stats,
+    log_needs,
     stat_needs,
 )
 
@@ -69,17 +70,14 @@ class PhaseResult(NamedTuple):
 class DevicePhaseUpdater:
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
                  store, delta: int = 5, iterations: int = 15,
-                 margin: float = DEFAULT_MARGIN,
-                 tie_margin: float = DEFAULT_TIE_MARGIN):
+                 margin=None, tie_margin=None):
         self.ps = ps
         self.model = model
         self.sim = float(sim)
         self.store = store
         self.delta = int(delta)
         self.iterations = int(iterations)
-        self.margin = float(margin)
-        self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
-            if margin > DEFAULT_MARGIN else float(tie_margin)
+        self.margin, self.tie_margin = resolve_margins(margin, tie_margin)
         self.pack = _pack_model(model)
         self.d = ps.dim
         self.maxc = int(ps.counts.max()) if ps.n else 0
@@ -119,21 +117,25 @@ class DevicePhaseUpdater:
         A = S["counts"][a_rows].astype(jnp.int32)
         B = S["counts"][b_rows].astype(jnp.int32)
         nsm, ndot, nemd = stat_needs(self.pack.singles)
+        njd, njs = log_needs(self.pack.singles)
         W = A.shape[0]
         summin = (jnp.minimum(A, B).sum(axis=1, dtype=jnp.int32)
                   if nsm else np.zeros((W,), np.int32))
         dot = ((A * B).sum(axis=1, dtype=jnp.int32)
                if ndot else np.zeros((W,), np.int32))
-        emd = (emd_rowsum(jax, jnp, A - B, self.d)
+        emd = (emd_rowsum(jax, jnp, A - B, self.d, maxc=self.maxc)
                if nemd else np.zeros((W,), np.int64))
+        stats = {"summin": summin, "dot": dot, "emd": emd}
+        if njd or njs:
+            jd, js, jde, jse = log_div_stats(jnp, A, B, S["mags"][a_rows],
+                                             S["mags"][b_rows], njd, njs)
+            stats.update(jd=jd, js=js, jd_err=jde, js_err=jse)
         side = lambda r: {
             "mags": S["mags"][r], "selfdot": S["selfdot"][r],
             "std": (S["std_h"][r], S["std_l"][r]), "lens": S["lens"][r],
         }
         singles = derive_singles_dd(
-            self.pack, self.d, jnp, {"summin": summin, "dot": dot,
-                                     "emd": emd},
-            side(a_rows), side(b_rows))
+            self.pack, self.d, jnp, stats, side(a_rows), side(b_rows))
         return epilogue_dd(self.pack, singles)
 
     # -- program ----------------------------------------------------------------

@@ -37,14 +37,15 @@ from ..model import thresholds as TH
 from ..kmer.counting import PointSet
 from ..ops import ddf32 as DD
 from .device_loop import (
-    DEFAULT_MARGIN,
-    DEFAULT_TIE_MARGIN,
     DeviceLoopUnsupported,
+    resolve_margins,
     _pack_model,
     derive_singles_dd,
     emd_rowsum,
     envelope_check,
     epilogue_dd,
+    log_div_stats,
+    log_needs,
     stat_needs,
 )
 
@@ -65,9 +66,7 @@ class DeviceUpdater:
     """Batched device scoring + closest-to-mean for the update/merge phase."""
 
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
-                 margin: float = DEFAULT_MARGIN,
-                 tie_margin: float = DEFAULT_TIE_MARGIN,
-                 store=None):
+                 margin=None, tie_margin=None, store=None):
         import jax
         import jax.numpy as jnp
 
@@ -78,9 +77,7 @@ class DeviceUpdater:
         self.ps = ps
         self.model = model
         self.sim = float(sim)
-        self.margin = float(margin)
-        self.tie_margin = float(max(tie_margin, margin * 1e-2)) \
-            if margin > DEFAULT_MARGIN else float(tie_margin)
+        self.margin, self.tie_margin = resolve_margins(margin, tie_margin)
         self.pack = _pack_model(model)
         self.d = ps.dim
         self.maxc = int(ps.counts.max()) if ps.n else 0
@@ -168,14 +165,19 @@ class DeviceUpdater:
         A = counts[a_idx].astype(jnp.int32)
         B = counts[b_idx].astype(jnp.int32)
         nsm, ndot, nemd = stat_needs(self.pack.singles)
+        njd, njs = log_needs(self.pack.singles)
         W = A.shape[0]
         summin = (jnp.minimum(A, B).sum(axis=1, dtype=jnp.int32)
                   if nsm else np.zeros((W,), np.int32))
         dot = ((A * B).sum(axis=1, dtype=jnp.int32)
                if ndot else np.zeros((W,), np.int32))
-        emd = (emd_rowsum(jax, jnp, A - B, self.d)
+        emd = (emd_rowsum(jax, jnp, A - B, self.d, maxc=self.maxc)
                if nemd else np.zeros((W,), np.int64))
         stats = {"summin": summin, "dot": dot, "emd": emd}
+        if njd or njs:
+            jd, js, jde, jse = log_div_stats(jnp, A, B, mags[a_idx],
+                                             mags[b_idx], njd, njs)
+            stats.update(jd=jd, js=js, jd_err=jde, js_err=jse)
         singles = derive_singles_dd(
             self.pack, self.d, jnp, stats,
             self._arr_side(mags, selfdot, std_h, std_l, lens, a_idx),

@@ -383,9 +383,54 @@ class MeanShiftEngine:
                 print(f"device accumulate unavailable ({e}); using host path")
                 return None
         raw, state = acc.run(bv)
+        self.stats.windows_scored += getattr(acc, "last_windows", 0)
+        self.stats.pairs_scored += getattr(acc, "last_pairs", 0)
         if raw is not None:
-            self.stats.windows_scored += 0  # device path does not track these
             return [Cluster(center_row=c, members=m) for c, m in raw]
+        # abort-resume: the host resolves ONE margin-uncertain step with the
+        # exact f64 semantics, then relaunches the precompiled device
+        # program from that point — instead of finishing the whole tail on
+        # the host (at 100k one abort cost ~13 s of host completion vs
+        # ~1 s of resolve+relaunch).  Bounded in case of a margin storm
+        # (forced-margin tests want the host fallback).
+        max_resumes = int(os.environ.get("MC2_DEV_MAX_RESUMES", "32"))
+        resumes = 0
+        host_steps = 16
+        import time as _time
+
+        while (state is not None and resumes < max_resumes
+               and getattr(acc, "_ready", None) is not None):
+            t_res = _time.time()
+            if os.environ.get("MC2_DEVICE_PROF"):
+                print(f"device accumulate: abort stage {state.stage} after "
+                      f"{len(state.clusters_done)} clusters; host resolves "
+                      f"{host_steps} steps")
+            clusters_done, current, last, bv2 = self._resolve_steps(
+                state, host_steps)
+            if last is None:
+                return clusters_done
+            alive_rows = (np.concatenate([b for b in bv2.bins])
+                          if bv2.size() else np.zeros(0, np.int64))
+            carry = acc.make_carry(
+                [(c.center_row, c.members) for c in clusters_done],
+                current, last, alive_rows)
+            if os.environ.get("MC2_DEVICE_PROF"):
+                print(f"device accumulate: resolve+carry {(_time.time() - t_res):.2f}s")
+            raw, state = acc.run(bv2, carry=carry)
+            self.stats.windows_scored += getattr(acc, "last_windows", 0)
+            self.stats.pairs_scored += getattr(acc, "last_pairs", 0)
+            resumes += 1
+            # backoff: aborts arriving in bursts (tie-dense regions) are
+            # cheaper to clear with a batch of exact host steps (~1 ms
+            # each on the native scorer) than with one ~0.5-2 s device
+            # round trip per step
+            host_steps = 16 if getattr(acc, "last_steps", 0) >= 256 \
+                else min(4 * host_steps, 1024)
+            if raw is not None:
+                if resumes and os.environ.get("MC2_DEVICE_PROF"):
+                    print(f"device accumulate: completed after {resumes} "
+                          "abort-resume round trips")
+                return [Cluster(center_row=c, members=m) for c, m in raw]
         if os.environ.get("MC2_DEVICE_STRICT"):
             raise RuntimeError(
                 f"device accumulate aborted (stage {state.stage}) under "
@@ -412,6 +457,43 @@ class MeanShiftEngine:
         finally:
             self.scorer = saved_scorer
         return clusters
+
+    def _resolve_steps(self, state, k: int):
+        """Resolve up to k accumulate steps exactly (f64 semantics) from a
+        device abort point (device_loop.ResumeState).  Returns
+        (clusters_done, current_rows, last_row, bv) after the steps;
+        last_row None means the pool emptied and clustering is complete."""
+        bv = state.bv
+        clusters = [Cluster(center_row=c, members=m)
+                    for c, m in state.clusters_done]
+        current = list(state.current_rows)
+        last = state.last_row
+        if not current:
+            current = [last]
+        pending_mean = state.stage == 2
+        for _ in range(k):
+            if pending_mean:
+                # the absorb already applied; closest-to-mean was uncertain
+                last = self._get_mean(current)
+                pending_mean = False
+                continue
+            # one window scan (ClusterFactory.cpp:552-610 inner step)
+            best_row, best_pos, is_min, front, back = \
+                self._get_close(bv, last)
+            if is_min:
+                clusters.append(Cluster(center_row=last, members=current))
+                if best_row is None:
+                    last = bv.pop()
+                else:
+                    last = best_row
+                    bv.erase(*best_pos)
+                if last is None:
+                    return clusters, None, None, bv
+                current = [last]
+            else:
+                current.extend(bv.remove_available(front, back))
+                last = self._get_mean(current)
+        return clusters, current, last, bv
 
     def _native_accumulate(self, bv: BVec, prog) -> Optional[List[Cluster]]:
         """One-call native accumulate driver (native/accumulate.cpp): the
