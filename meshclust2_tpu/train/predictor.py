@@ -158,16 +158,21 @@ def _build_pair_tables(
     if not used_device:
         return tbl, mins, maxs, None
 
+    exact_cache: List[S.SinglesTable] = []
+
     def make_exact(mins=mins, maxs=maxs, labels=labels, vals=vals):
         """Float64-oracle rebuild of this table (same bounds — they are
         already exact by the recheck contract): the device table's ~1e-13
         entry error is amplified ~kappa^2 by the normal-equations solve, so
-        the FINAL weights are re-solved on exact columns after selection."""
-        ex = _host_exact(np.arange(len(pairs)))
-        return S.SinglesTable(
-            singles=singles, raw=ex,
-            normalized=S.apply_normalization(ex, singles, mins, maxs),
-            labels=labels, values=vals)
+        the FINAL weights are re-solved on exact columns after selection.
+        Memoized: classification and regression chains both re-solve."""
+        if not exact_cache:
+            ex = _host_exact(np.arange(len(pairs)))
+            exact_cache.append(S.SinglesTable(
+                singles=singles, raw=ex,
+                normalized=S.apply_normalization(ex, singles, mins, maxs),
+                labels=labels, values=vals))
+        return exact_cache[0]
 
     return tbl, mins, maxs, make_exact
 
@@ -341,10 +346,10 @@ def train_predictor(
     singles = F.split_flags(feat_flags)
     train_mut_ps = _mutant_point_set(training, k, datatype)
     test_mut_ps = _mutant_point_set(testing, k, datatype)
-    # the device table path is restricted to pure classification mode: the
-    # regression chain filters rows through an RNG-consuming shuffle, so an
-    # exact post-selection re-solve cannot be replayed there
-    allow_dev = mode == PRED_MODE_CLASS
+    # device tables serve every mode: the regression chain's RNG-consuming
+    # row rebalance depends only on pair identity values (host-exact), so
+    # its selection replays verbatim onto the float64 re-solve tables
+    allow_dev = True
     tr_tbl, mins, maxs, tr_exact = _build_pair_tables(
         ps, training, train_mut_ps, singles, identity,
         allow_device=allow_dev)
@@ -372,11 +377,24 @@ def train_predictor(
         model.classifier = _to_block(feat_set, weights, singles, mins, maxs)
     if mode & PRED_MODE_REGR:
         trr, ter = tr_tbl, te_tbl
+        sel_tr = sel_te = None
         if mode & PRED_MODE_CLASS:
-            trr = _regression_filter(tr_tbl, identity, rng)
-            ter = _regression_filter(te_tbl, identity, rng)
+            sel_tr = _regression_filter_sel(tr_tbl.values, identity, rng)
+            sel_te = _regression_filter_sel(te_tbl.values, identity, rng)
+            trr, ter = _subset_tbl(tr_tbl, sel_tr), _subset_tbl(te_tbl, sel_te)
         feat_set, weights = S.greedy_select_regression(trr, ter, possible, max_feat,
                                                        verbose=verbose)
+        if tr_exact is not None:
+            # device tables drove the greedy selection; the shipped
+            # regression weights come from one exact float64 re-solve on
+            # the same (replayed) row selection
+            from ..glm.exact import train_glm_exact
+
+            tr_ex = tr_exact()
+            if sel_tr is not None:
+                tr_ex = _subset_tbl(tr_ex, sel_tr)
+            weights = train_glm_exact(
+                S.design_matrix(tr_ex, feat_set), tr_ex.values)
         model.regressor = _to_block(feat_set, weights, singles, mins, maxs)
     if verbose:
         # Predictor.cpp:938-947 (sizes after selection, then a blank line)
@@ -407,16 +425,21 @@ def _to_block(feat_set, weights, all_singles, all_mins, all_maxs) -> ModelBlock:
     )
 
 
-def _regression_filter(tbl: S.SinglesTable, identity: float, rng: MTRandom) -> S.SinglesTable:
-    """Drop val<=id pairs and rebalance into 10 equal identity bins
-    (Predictor.cpp:714-751,925-932)."""
-    keep = tbl.values > identity
+def _regression_filter_sel(values: np.ndarray, identity: float,
+                           rng: MTRandom) -> np.ndarray:
+    """Row selection of the regression rebalance (Predictor.cpp:714-751,
+    925-932): drop val<=id pairs and rebalance into 10 equal identity
+    bins.  Depends only on the pair identity VALUES (host-exact, from the
+    mutation engine) and the RNG — never on the feature columns — so the
+    same selection replays verbatim onto a float64-oracle rebuild of a
+    device-computed table."""
+    keep = values > identity
     idx = np.nonzero(keep)[0]
     num_bins = 10
     limits = [identity + i * (1 - identity) / num_bins for i in range(num_bins)] + [1.0]
     bins = [[] for _ in range(num_bins)]
     for i in idx:
-        v = tbl.values[i]
+        v = values[i]
         for b in range(1, len(limits)):
             if limits[b - 1] < v <= limits[b]:
                 bins[b - 1].append(i)
@@ -428,7 +451,10 @@ def _regression_filter(tbl: S.SinglesTable, identity: float, rng: MTRandom) -> S
         bb = list(b)
         rng.shuffle(bb)
         sel.extend(bb[: min(len(bb), smallest)])
-    sel = np.array(sel, dtype=np.int64)
+    return np.array(sel, dtype=np.int64)
+
+
+def _subset_tbl(tbl: S.SinglesTable, sel: np.ndarray) -> S.SinglesTable:
     return S.SinglesTable(
         singles=tbl.singles,
         raw=tbl.raw[sel],

@@ -95,3 +95,57 @@ def test_device_raw_singles_exact_bounds(fixtures_dir):
     raw, err = DeviceTableBuilder(ps, singles).raw_with_err(a, b)
     assert np.all(np.abs(raw - want) <=
                   8 * err + 1e-12 * np.maximum(np.abs(want), 1.0))
+
+
+def _fastcar_train_dump(fixtures_dir, tmp, name, env):
+    """Train a CLASS+REGR model through fastcar's --dump path."""
+    from meshclust2_tpu.fastcar import main as fc_main
+
+    w = tmp / name
+    saved = {}
+    for k, v in env.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rc = fc_main([
+            "--mode", "rc", "--id", "0.8", "--kmer", "5",
+            "--mut-type", "single", "--sample", "30",
+            "--dump", str(w),
+            "--query", os.path.join(fixtures_dir, "small.fasta"),
+            os.path.join(fixtures_dir, "small.fasta"),
+        ])
+    finally:
+        os.chdir(cwd)
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert rc == 0
+    return load_weights(str(w))
+
+
+@pytest.mark.slow
+def test_device_tables_regression_mode(fixtures_dir, tmp_path):
+    """VERDICT r3 #5: regression-mode training through device tables — the
+    RNG-consuming row rebalance replays onto the exact re-solve, so the
+    regressor block matches the host build (selection identical, weights
+    from the same float64 solve)."""
+    host = _fastcar_train_dump(fixtures_dir, tmp_path, "h.txt", env={})
+    dev = _fastcar_train_dump(fixtures_dir, tmp_path, "d.txt",
+                              env={"MC2_DEVICE_TRAIN": "1"})
+    for attr in ("classifier", "regressor"):
+        hb = getattr(host, attr)
+        db = getattr(dev, attr)
+        assert hb is not None and db is not None
+        assert hb.combos == db.combos, attr
+        assert hb.singles == db.singles, attr
+        assert np.array_equal(np.asarray(hb.mins), np.asarray(db.mins))
+        assert np.array_equal(np.asarray(hb.maxs), np.asarray(db.maxs))
+        hw, dw = np.asarray(hb.weights), np.asarray(db.weights)
+        assert np.allclose(hw, dw, rtol=1e-7, atol=1e-9), (attr, hw, dw)
+    # the regression weights come from the SAME float64 solve both ways
+    assert np.array_equal(np.asarray(host.regressor.weights),
+                          np.asarray(dev.regressor.weights))
