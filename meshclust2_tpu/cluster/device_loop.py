@@ -101,6 +101,11 @@ def resolve_margins(margin, tie_margin):
 
 _WC = 2048  # scan chunk rows (static shape inside the loop)
 
+# fixed patch shape for abort-resume carries (make_carry/_patch_big):
+# one shape -> one precompiled apply function
+_PATCH_P = 8192
+_PATCH_Q = 1024
+
 
 def _shape_bucket(x: int, floor: int = 1024) -> int:
     """Smallest of {2^a, 3*2^(a-1)} >= x (>= floor).  Padded program shapes
@@ -683,9 +688,9 @@ class DeviceAccumulator:
         assign0[cflat] = cid0
         astep0[cflat] = np.arange(len(cur), dtype=np.int32)
         msum0 = self.ps.counts[cur].astype(np.int64).sum(axis=0)
+        big = self._patch_big(alive0, assign0, astep0, centers0, npad)
         return {
-            "alive0": alive0, "assign0": assign0, "astep0": astep0,
-            "centers0": centers0,
+            **big,
             "cid0": np.int32(cid0),
             # future absorb stamps must exceed every position index used
             "stepc0": np.int32(n + 2),
@@ -695,6 +700,48 @@ class DeviceAccumulator:
             "envhi0": np.int32(cflat.max() + 1),
             "done0": np.bool_(False),
         }
+
+    def _patch_big(self, alive0, assign0, astep0, centers0, npad: int):
+        """The four [npad] carry arrays, as device-side patches of the last
+        abort state when the diff is small (a resume after k host steps
+        touches only the rows those steps absorbed/seeded)."""
+        prev = getattr(self, "_res_dev", None)
+        ph = getattr(self, "_res_host", None)
+        full = {"alive0": alive0, "assign0": assign0, "astep0": astep0,
+                "centers0": centers0}
+        if prev is None or ph is None:
+            return full
+        idx = np.nonzero((alive0 != ph["alive"]) | (assign0 != ph["assign"])
+                         | (astep0 != ph["astep"]))[0].astype(np.int32)
+        cidx = np.nonzero(centers0 != ph["centers"])[0].astype(np.int32)
+        # ONE fixed patch shape: the apply function is precompiled during
+        # ensure_ready (pre-stamp) — a per-bucket jit here would compile
+        # through the tunnel mid-run, costing more than it saves
+        if len(idx) > _PATCH_P or len(cidx) > _PATCH_Q:
+            return full
+        apply = getattr(self, "_patch_apply", None)
+        if apply is None:
+            return full
+
+        import jax.numpy as jnp
+
+        def pad(a, m, fill):
+            out = np.full(m, fill, dtype=a.dtype)
+            out[: len(a)] = a
+            return out
+
+        drop = np.int32(npad)
+        a_d, s_d, t_d, c_d = apply(
+            prev[3], prev[4], prev[5], prev[6],
+            jnp.asarray(pad(idx, _PATCH_P, drop)),
+            jnp.asarray(pad(alive0[idx], _PATCH_P, False)),
+            jnp.asarray(pad(assign0[idx], _PATCH_P, 0)),
+            jnp.asarray(pad(astep0[idx], _PATCH_P, 0)),
+            jnp.asarray(pad(cidx, _PATCH_Q, drop)),
+            jnp.asarray(pad(centers0[cidx], _PATCH_Q, 0)),
+        )
+        return {"alive0": a_d, "assign0": s_d, "astep0": t_d,
+                "centers0": c_d}
 
     # -- dd epilogue ------------------------------------------------------------
 
@@ -1236,6 +1283,29 @@ class DeviceAccumulator:
             np.asarray(v.ravel()[-1] if v.ndim else v)
         self._ready = (host, Cdev, compiled)
 
+        # precompile the fixed-shape resume-patch apply (used by
+        # make_carry/_patch_big) so no compilation happens mid-run
+        npad = int(Cdev["lens"].shape[0])
+
+        def apply(alive, assign, astep, centers, ip, av, sv, tv, cp, cv):
+            return (alive.at[ip].set(av, mode="drop"),
+                    assign.at[ip].set(sv, mode="drop"),
+                    astep.at[ip].set(tv, mode="drop"),
+                    centers.at[cp].set(cv, mode="drop"))
+
+        self._patch_apply = jax.jit(apply).lower(
+            jax.ShapeDtypeStruct((npad,), bool),
+            jax.ShapeDtypeStruct((npad,), jnp.int32),
+            jax.ShapeDtypeStruct((npad,), jnp.int32),
+            jax.ShapeDtypeStruct((npad,), jnp.int32),
+            jax.ShapeDtypeStruct((_PATCH_P,), jnp.int32),
+            jax.ShapeDtypeStruct((_PATCH_P,), bool),
+            jax.ShapeDtypeStruct((_PATCH_P,), jnp.int32),
+            jax.ShapeDtypeStruct((_PATCH_P,), jnp.int32),
+            jax.ShapeDtypeStruct((_PATCH_Q,), jnp.int32),
+            jax.ShapeDtypeStruct((_PATCH_Q,), jnp.int32),
+        ).compile()
+
     def _ready_matches(self, bv: BVec) -> bool:
         ready = getattr(self, "_ready", None)
         if ready is None:
@@ -1285,6 +1355,12 @@ class DeviceAccumulator:
         res = compiled(Cdev)
         (abort, cid, cur, alive, assign, astep, centers, iters, wins,
          pairs) = (np.asarray(x) for x in res)
+        # abort-state reuse: keep the output buffers ON DEVICE plus host
+        # copies, so a resume only uploads the rows the host steps changed
+        # (make_carry patch path) instead of the full multi-MB state
+        self._res_dev = res
+        self._res_host = {"alive": alive.copy(), "assign": assign.copy(),
+                          "astep": astep.copy(), "centers": centers.copy()}
         t3 = time.time()
         self.last_exec_seconds = t3 - t2
         self.last_steps = int(iters)
