@@ -82,6 +82,12 @@ class DevicePhaseUpdater:
         self.d = ps.dim
         self.maxc = int(ps.counts.max()) if ps.n else 0
         self.NB = store.nb
+        # the per-iteration segment sums materialize [NB, D] i64 accumulator
+        # temporaries; beyond ~4 GB the program risks device OOM — the
+        # engine then falls back to the per-iteration update paths
+        if self.NB * self.d * 8 > 4 << 30:
+            raise DeviceLoopUnsupported(
+                f"update-phase accumulators too large ({self.NB}x{self.d})")
         # int32 segment sums are exact when per-bin cluster sums fit
         self.sum32 = self.maxc * max(int(ps.n), 1) < 2**31
         self.band0 = TH.nonzero_bands(model.bias)   # c_round(prob) != 0

@@ -131,3 +131,31 @@ def test_end_to_end_tpu_clstr_parity():
         print("E2E_OK")
     """), timeout=1000))
     assert "E2E_OK" in out
+
+
+def test_tpu_clustering_meets_baseline_rate():
+    """VERDICT r3 weak #6: the real-chip job must assert PERFORMANCE, not
+    just parity — otherwise it passes while the bench regresses.  The
+    measured clustering window (read_in_points -> done, the bench metric)
+    on the med2000 fixture must beat the reference CPU's best measured
+    rate (2,325 seqs/s at 10k => 0.86 s for 2,000): allow 3x slack for
+    shared-tunnel jitter, i.e. < 2.6 s.  Bring-up (uploads/compiles) is
+    excluded by the stamp, as in the bench."""
+    out = _check(_run_on_tpu(textwrap.dedent("""
+        import os, re, subprocess, sys
+        env = dict(os.environ)
+        env["MC2_DEVICE_PROBE_TIMEOUT"] = "0"
+        r = subprocess.run([sys.executable, "-m", "meshclust2_tpu.cli",
+            "--recover", "tests/fixtures/med2000_weights.txt",
+            "--output", "/tmp/rt_med_tpu.clstr", "--device", "tpu",
+            "tests/fixtures/med2000.fasta"], env=env, timeout=1500,
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-1500:]
+        ts = {m.group(1): float(m.group(2)) for m in
+              re.finditer(r"timestamp (\\S+) ([0-9.eE+-]+)", r.stdout)}
+        window = ts["done"] - ts["read_in_points"]
+        print(f"WINDOW {window:.3f}")
+        assert window < 2.6, f"clustering window {window:.2f}s exceeds bound"
+        print("PERF_OK")
+    """), timeout=1800))
+    assert "PERF_OK" in out
