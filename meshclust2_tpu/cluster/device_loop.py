@@ -677,12 +677,23 @@ class DeviceAccumulator:
         assign0 = np.full(npad, -1, np.int32)
         astep0 = np.zeros(npad, np.int32)
         centers0 = np.zeros(npad, np.int32)
-        for c, (center, members) in enumerate(clusters_done):
-            mflat = pos[np.asarray(members, dtype=np.int64)]
-            assign0[mflat] = c
-            astep0[mflat] = np.arange(len(members), dtype=np.int32)
-            centers0[c] = pos[center]
         cid0 = len(clusters_done)
+        if cid0:
+            # vectorized over all clusters (a python per-cluster loop cost
+            # tens of seconds per resume at 70k clusters)
+            lens_c = np.array([len(m) for _, m in clusters_done],
+                              dtype=np.int64)
+            all_members = np.concatenate(
+                [np.asarray(m, dtype=np.int64) for _, m in clusters_done])
+            cl_ids = np.repeat(np.arange(cid0, dtype=np.int32), lens_c)
+            starts = np.cumsum(lens_c) - lens_c
+            positions = (np.arange(len(all_members), dtype=np.int64)
+                         - np.repeat(starts, lens_c)).astype(np.int32)
+            mflat = pos[all_members]
+            assign0[mflat] = cl_ids
+            astep0[mflat] = positions
+            centers0[:cid0] = pos[np.array([c for c, _ in clusters_done],
+                                           dtype=np.int64)]
         cur = np.asarray(current_rows, dtype=np.int64)
         cflat = pos[cur]
         assign0[cflat] = cid0
@@ -1391,24 +1402,29 @@ class DeviceAccumulator:
                   flush=True)
         abort = int(abort)
 
-        def members_of(c):
-            idx = np.nonzero(assign == c)[0]
-            key = astep[idx].astype(np.int64) * (n + 1) + idx
-            return idx[np.argsort(key, kind="stable")]
+        def clusters_upto(n_clusters):
+            """[(center_row, members)] for cluster ids 0..n_clusters-1 in
+            ONE lexsort — a per-cluster nonzero scan is O(C * n) and cost
+            tens of seconds per call at 1M rows / 70k clusters."""
+            rows = np.nonzero((assign >= 0) & (assign < n_clusters))[0]
+            key = astep[rows].astype(np.int64) * (n + 1) + rows
+            srt = np.lexsort((key, assign[rows]))
+            rows_s = rows[srt]
+            asg_s = assign[rows_s]
+            bounds = np.searchsorted(asg_s, np.arange(n_clusters + 1))
+            return [
+                (int(order[centers[c]]),
+                 order[rows_s[bounds[c]:bounds[c + 1]]].tolist())
+                for c in range(n_clusters)
+            ]
 
         if abort == 0:
-            ncl = int(cid)
-            out = []
-            for c in range(ncl):
-                flat = members_of(c)
-                out.append((int(order[centers[c]]), order[flat].tolist()))
-            return out, None
+            return clusters_upto(int(cid)), None
         # guarded abort: reconstruct the exact host state
-        done_clusters = []
-        for c in range(int(cid)):
-            flat = members_of(c)
-            done_clusters.append((int(order[centers[c]]), order[flat].tolist()))
-        cur_flat = members_of(int(cid))
+        done_clusters = clusters_upto(int(cid))
+        cur_rows = np.nonzero(assign == int(cid))[0]
+        key = astep[cur_rows].astype(np.int64) * (n + 1) + cur_rows
+        cur_flat = cur_rows[np.argsort(key, kind="stable")]
         current_rows = order[cur_flat].tolist()
         # rebuild a BVec directly from the alive flags (order preserved;
         # __init__ fields are fully overwritten below)
