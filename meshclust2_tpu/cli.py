@@ -432,8 +432,11 @@ def _main_impl(args, clock) -> int:
     model: Optional[CompiledModel] = None
     if recovered is not None:
         model = CompiledModel(recovered.classifier, bias=args.bias)
-        if (args.device == "tpu" and all_ps is not None and all_ps.n
-                and ensure_device_backend()):
+        if all_ps is not None and all_ps.n and (
+                (args.device == "tpu" and ensure_device_backend())
+                or os.environ.get("MC2_FORCE_DEVICE_SESSION")):
+            # MC2_FORCE_DEVICE_SESSION exercises the session/combined
+            # program on the CPU backend (tests)
             device_session = _try_device_session(
                 all_ps, model, similarity, args)
     clock.stamp("read_in_points")
@@ -479,8 +482,9 @@ def _main_impl(args, clock) -> int:
         if args.dump:
             return 0
         model = CompiledModel(pred_model.classifier, bias=args.bias)
-        if (args.device == "tpu" and all_ps is not None and all_ps.n
-                and ensure_device_backend()):
+        if all_ps is not None and all_ps.n and (
+                (args.device == "tpu" and ensure_device_backend())
+                or os.environ.get("MC2_FORCE_DEVICE_SESSION")):
             device_session = _try_device_session(
                 all_ps, model, similarity, args)
 

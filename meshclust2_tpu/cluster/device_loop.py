@@ -607,6 +607,7 @@ class DeviceAccumulator:
             "n": n,
             "nb": nb,
             "bin_start": bin_start,
+            "bounds": list(bv.begin_bounds),
         }
         if self.shared_counts is not None:
             order_pad = np.zeros(npad, dtype=np.int32)
@@ -743,7 +744,7 @@ class DeviceAccumulator:
 
         drop = np.int32(npad)
         a_d, s_d, t_d, c_d = apply(
-            prev[3], prev[4], prev[5], prev[6],
+            prev[1], prev[2], prev[3], prev[4],
             jnp.asarray(pad(idx, _PATCH_P, drop)),
             jnp.asarray(pad(alive0[idx], _PATCH_P, False)),
             jnp.asarray(pad(assign0[idx], _PATCH_P, 0)),
@@ -1268,9 +1269,26 @@ class DeviceAccumulator:
                 wins=np.int32(0), pairs=np.int64(0),
             )
             st = jax.lax.while_loop(cond, body, st)
-            return (st.abort, st.cid, st.cur, st.alive, st.assign,
-                    st.astep, st.centers, st.iters, st.wins, st.pairs)
+            # ONE packed i64 output so the host pays a single fetch round
+            # trip (each np.asarray through the tunnel costs 0.1-0.5 s of
+            # link latency; round 4 fetched ten arrays per run):
+            #   [0:8]  scalars (abort, cid, cur, iters, wins, pairs, 0, 0)
+            #   [8:8+npad]       per-row state: (assign+1)<<33|astep<<1|alive
+            #   [8+npad:8+2npad] centers
+            # The raw state arrays are ALSO returned (never fetched) as the
+            # device-resident base for the resume-patch path.
+            i64 = lambda v: v.astype(jnp.int64)
+            scalars = jnp.stack([
+                i64(st.abort), i64(st.cid), i64(st.cur), i64(st.iters),
+                i64(st.wins), st.pairs, np.int64(0), np.int64(0)])
+            row_pack = ((i64(st.assign) + 1) << 33) \
+                | (i64(st.astep) << 1) | i64(st.alive)
+            packed = jnp.concatenate([scalars, row_pack, i64(st.centers)])
+            return (packed, st.alive, st.assign, st.astep, st.centers)
 
+        # the unjitted core is what DeviceCombined composes with the
+        # update-phase program into one dispatch (device_session.py)
+        self._core_program = program
         return jax.jit(program)
 
     # -- public entry ------------------------------------------------------------
@@ -1293,10 +1311,13 @@ class DeviceAccumulator:
         for v in Cdev.values():
             np.asarray(v.ravel()[-1] if v.ndim else v)
         self._ready = (host, Cdev, compiled)
+        self._compile_patch_apply(int(Cdev["lens"].shape[0]))
 
-        # precompile the fixed-shape resume-patch apply (used by
-        # make_carry/_patch_big) so no compilation happens mid-run
-        npad = int(Cdev["lens"].shape[0])
+    def _compile_patch_apply(self, npad: int) -> None:
+        """Precompile the fixed-shape resume-patch apply (used by
+        make_carry/_patch_big) so no compilation happens mid-run."""
+        import jax
+        import jax.numpy as jnp
 
         def apply(alive, assign, astep, centers, ip, av, sv, tv, cp, cv):
             return (alive.at[ip].set(av, mode="drop"),
@@ -1364,24 +1385,39 @@ class DeviceAccumulator:
             compiled = lowered.compile()
             t2 = time.time()
         res = compiled(Cdev)
-        (abort, cid, cur, alive, assign, astep, centers, iters, wins,
-         pairs) = (np.asarray(x) for x in res)
+        npad_out = int(Cdev["lens"].shape[0])
+        packed = np.asarray(res[0])     # the ONE fetch round trip
+        t3 = time.time()
+        self.last_exec_seconds = t3 - t2
+        if profile:
+            print(f"device accumulate: prepare {t1 - t0:.2f}s, "
+                  f"lower {t1b - t1:.2f}s, compile {t2 - t1b:.2f}s, "
+                  f"execute {t3 - t2:.2f}s", flush=True)
+        return self.consume(packed[:8 + 2 * npad_out], res, host, npad_out)
+
+    def consume(self, packed: np.ndarray, res, host, npad_out: int):
+        """(clusters_raw, None) or (None, ResumeState) from the program's
+        packed i64 output.  `res` is the raw output tuple whose device-side
+        state buffers (positions 1..4) seed the resume-patch path."""
+        profile = bool(os.environ.get("MC2_DEVICE_PROF"))
+        abort, cid, cur, iters, wins, pairs = packed[:6]
+        row_pack = packed[8:8 + npad_out]
+        alive = (row_pack & 1).astype(bool)
+        astep = ((row_pack >> 1) & 0xFFFFFFFF).astype(np.int32)
+        assign = ((row_pack >> 33) - 1).astype(np.int32)
+        centers = packed[8 + npad_out:].astype(np.int32)
         # abort-state reuse: keep the output buffers ON DEVICE plus host
         # copies, so a resume only uploads the rows the host steps changed
         # (make_carry patch path) instead of the full multi-MB state
         self._res_dev = res
         self._res_host = {"alive": alive.copy(), "assign": assign.copy(),
                           "astep": astep.copy(), "centers": centers.copy()}
-        t3 = time.time()
-        self.last_exec_seconds = t3 - t2
         self.last_steps = int(iters)
         self.last_windows = int(wins)
         self.last_pairs = int(pairs)
         if profile:
-            print(f"device accumulate: prepare {t1 - t0:.2f}s, "
-                  f"lower {t1b - t1:.2f}s, compile {t2 - t1b:.2f}s, "
-                  f"execute {t3 - t2:.2f}s, {int(iters)} steps, "
-                  f"{int(wins)} windows, {int(pairs)} pairs")
+            print(f"device accumulate: {int(iters)} steps, "
+                  f"{int(wins)} windows, {int(pairs)} pairs", flush=True)
         n = host["n"]
         alive, assign, astep = alive[:n], assign[:n], astep[:n]
         order = host["order"]
@@ -1429,7 +1465,7 @@ class DeviceAccumulator:
         # rebuild a BVec directly from the alive flags (order preserved;
         # __init__ fields are fully overwritten below)
         bv2 = BVec(self.ps.lengths, bin_size=1000)
-        bv2.begin_bounds = list(bv.begin_bounds)
+        bv2.begin_bounds = list(host["bounds"])
         bv2._bounds_arr = np.asarray(bv2.begin_bounds, dtype=np.int64)
         bv2._lengths = np.asarray(self.ps.lengths, dtype=np.int64)
         bin_start = host["bin_start"]

@@ -48,6 +48,7 @@ from .device_loop import (
     DeviceLoopUnsupported,
     resolve_margins,
     _pack_model,
+    _shape_bucket,
     derive_singles_dd,
     emd_rowsum,
     epilogue_dd,
@@ -82,17 +83,34 @@ class DevicePhaseUpdater:
         self.d = ps.dim
         self.maxc = int(ps.counts.max()) if ps.n else 0
         self.NB = store.nb
-        # the per-iteration segment sums materialize [NB, D] i64 accumulator
-        # temporaries; beyond ~4 GB the program risks device OOM — the
-        # engine then falls back to the per-iteration update paths
-        if self.NB * self.d * 8 > 4 << 30:
-            raise DeviceLoopUnsupported(
-                f"update-phase accumulators too large ({self.NB}x{self.d})")
+        # slot arrays and segment-sum accumulators are sized by a CLUSTER
+        # bucket CB (<= NB): clusters are far fewer than rows (10k -> 788,
+        # 1M -> ~73-100k), and the [slots, D] accumulators were the round-4
+        # memory wall (a [2^20, 1024] i64 msum is 8.6 GB; [131072, 1024]
+        # is 1.07 GB) AND the scatter cost (8x smaller scatter targets).
+        # The default covers every measured dataset; run() lazily compiles
+        # a bigger bucket when a run arrives with more clusters.
+        self.CB = min(self.NB, _shape_bucket(max(self.NB // 8, 1024)))
+        # row chunk: bounds the [rows, D] i32 gather/score temporaries (at
+        # the 1M bucket a full-width pass would materialize ~4 GB per temp)
+        self.RC = min(self.NB, max(1 << 14, (1 << 29) // (4 * self.d)))
         # int32 segment sums are exact when per-bin cluster sums fit
         self.sum32 = self.maxc * max(int(ps.n), 1) < 2**31
         self.band0 = TH.nonzero_bands(model.bias)   # c_round(prob) != 0
         self.band1 = TH.merge_band(model.bias)      # c_round(prob) == 1
-        self._compiled = None
+        self._compiled_by_cb = {}
+        self._check_cb(self.CB)
+
+    def _check_cb(self, cb: int) -> None:
+        """Memory guard for one CB bucket's [CB, D] accumulators."""
+        width = 4 if self.sum32 else 8
+        if cb * self.d * width > 4 << 30:
+            raise DeviceLoopUnsupported(
+                f"update-phase accumulators too large ({cb}x{self.d})")
+
+    @property
+    def _compiled(self):
+        return self._compiled_by_cb.get(self.CB)
 
     # -- traced helpers ---------------------------------------------------------
 
@@ -117,11 +135,15 @@ class DevicePhaseUpdater:
                 inb = inb & False
         return inb, unc
 
-    def _score_rows(self, jax, jnp, S, a_rows, b_rows):
+    def _score_rows(self, jax, jnp, S, a_rows, b_rows, b_block=None):
         """(s_dd, dist_dd, s_err, dist_err) for row-index vectors with the
-        reference argument order (a = center/candidate, b = member)."""
+        reference argument order (a = center/candidate, b = member).
+        `b_block` optionally supplies the b-side count block directly (a
+        contiguous dynamic_slice is cheaper than a row gather when b_rows
+        is a consecutive chunk)."""
         A = S["counts"][a_rows].astype(jnp.int32)
-        B = S["counts"][b_rows].astype(jnp.int32)
+        B = b_block if b_block is not None \
+            else S["counts"][b_rows].astype(jnp.int32)
         nsm, ndot, nemd = stat_needs(self.pack.singles)
         njd, njs = log_needs(self.pack.singles)
         W = A.shape[0]
@@ -146,12 +168,14 @@ class DevicePhaseUpdater:
 
     # -- program ----------------------------------------------------------------
 
-    def _build(self):
+    def _build(self, CB: int):
         import jax
         import jax.numpy as jnp
 
         NB = self.NB
         D = self.d
+        RC = min(self.RC, NB)
+        NCHUNK = (NB + RC - 1) // RC
         delta = self.delta
         ITER = self.iterations
         margin = np.float32(self.margin)
@@ -165,9 +189,9 @@ class DevicePhaseUpdater:
         class St(NamedTuple):
             assign: jnp.ndarray    # [NB] i32 slot per row
             seq: jnp.ndarray       # [NB] i32 member position
-            cen: jnp.ndarray       # [NB] i32 center row per slot
-            alivec: jnp.ndarray    # [NB] bool slot alive
-            clen: jnp.ndarray      # [NB] i32 member count per slot
+            cen: jnp.ndarray       # [CB] i32 center row per slot
+            alivec: jnp.ndarray    # [CB] bool slot alive
+            clen: jnp.ndarray      # [CB] i32 member count per slot
             hist: jnp.ndarray      # [ITER] i32 count after iteration k
             it: jnp.ndarray        # i32
             done: jnp.ndarray      # bool
@@ -179,14 +203,15 @@ class DevicePhaseUpdater:
             crank = jnp.cumsum(ai)
             rank = crank - ai
             Ctot = crank[-1]
-            idxs = jnp.where(alivec, rank, np.int32(NB))
-            inv = jnp.zeros(NB, jnp.int32).at[idxs].set(
-                np.arange(NB, dtype=np.int32), mode="drop")
+            idxs = jnp.where(alivec, rank, np.int32(CB))
+            inv = jnp.zeros(CB, jnp.int32).at[idxs].set(
+                np.arange(CB, dtype=np.int32), mode="drop")
             return rank, inv, Ctot
 
         def mean_guards(num, den_raw):
             """Rounded mean + f64 rounding-corner guards per slot
-            (device_loop.closest_to_mean semantics, vectorized [NB, D])."""
+            (device_loop.closest_to_mean semantics, vectorized [CB, D])."""
+            num = num.astype(jnp.int64)
             den = jnp.maximum(den_raw, 1)[:, None].astype(jnp.int64)
             q = num // den
             rem = num - q * den
@@ -204,87 +229,117 @@ class DevicePhaseUpdater:
 
         def program(S, assign0, seq0, cen0, alivec0, clen0, n):
             valid_row = np.arange(NB, dtype=np.int32) < n
-            rows_all = np.arange(NB, dtype=np.int32)
 
-            def filter_mean(st, offsets):
+            def row_chunk(arr, ci):
+                start = (ci * RC).astype(jnp.int32) if hasattr(ci, "astype") \
+                    else jnp.int32(ci * RC)
+                return jax.lax.dynamic_slice(arr, (start,), (RC,))
+
+            def filter_mean(st, off_lo: int, off_hi: int):
                 """Classify passes + segment sums over the given rank
-                offsets.  Returns (keepbits [NB] i32, msum [NB, D] i64,
-                mcnt [NB] i32, r, s_floor, unc, pairs)."""
+                offsets, row-chunked so temporaries stay [RC, D].  Returns
+                (keepbits [NB] i32, mcnt [CB] i32, r, s_floor, unc,
+                pairs)."""
                 rank, inv, Ctot = ranks(st.alivec)
                 rrank = rank[st.assign]
 
-                def off_body(oi, carry):
+                def step_body(ci_flat, carry):
                     keepbits, msum, mcnt, unc, pairs = carry
-                    o = offsets[0] + oi
-                    t_rank = rrank + (o - delta)
-                    tvalid = valid_row & (t_rank >= 0) & (t_rank < Ctot) \
-                        & st.alivec[st.assign]
-                    t_slot = inv[jnp.clip(t_rank, 0, NB - 1)]
+                    ci_flat = jnp.asarray(ci_flat).astype(jnp.int32)
+                    oi = ci_flat // NCHUNK
+                    ch = ci_flat % NCHUNK
+                    o = off_lo + oi
+                    r0 = ch * RC
+                    rows = r0 + np.arange(RC, dtype=np.int32)
+                    asg = row_chunk(st.assign, ch)
+                    rr = row_chunk(rrank, ch)
+                    t_rank = rr + (o - delta)
+                    tvalid = (rows < n) & (t_rank >= 0) & (t_rank < Ctot) \
+                        & st.alivec[asg]
+                    t_slot = inv[jnp.clip(t_rank, 0, CB - 1)]
                     cr = st.cen[t_slot]
-                    lp = tvalid & (S["lens"] >= S["blen"][cr]) \
-                        & (S["lens"] <= S["elen"][cr])
+                    lens_c = row_chunk(S["lens"], ch)
+                    lp = tvalid & (lens_c >= S["blen"][cr]) \
+                        & (lens_c <= S["elen"][cr])
                     pairs = pairs + lp.sum(dtype=jnp.int64)
+                    B = jax.lax.dynamic_slice(
+                        S["counts"], (r0, np.int32(0)),
+                        (RC, D)).astype(jnp.int32)
                     s_dd, _dist, s_err, _derr = self._score_rows(
-                        jax, jnp, S, cr, rows_all)
+                        jax, jnp, S, cr, rows, b_block=B)
                     # band0 is the round-to-ZERO band: kept members are the
                     # ones OUTSIDE it (c_round(prob) != 0, Trainer.cpp:134)
                     inb, bunc = self._band_device(jnp, s_dd, s_err,
                                                   self.band0)
                     keep = lp & ~inb
                     unc = unc | (lp & bunc).any()
-                    B = S["counts"].astype(jnp.int32)
                     Bm = jnp.where(keep[:, None], B, 0)
                     if sum32:
-                        add = jax.ops.segment_sum(Bm, t_slot,
-                                                  num_segments=NB)
-                        msum = msum + add.astype(jnp.int64)
+                        msum = msum + jax.ops.segment_sum(
+                            Bm, t_slot, num_segments=CB)
                     else:
                         msum = msum + jax.ops.segment_sum(
-                            Bm.astype(jnp.int64), t_slot, num_segments=NB)
+                            Bm.astype(jnp.int64), t_slot, num_segments=CB)
                     mcnt = mcnt + jax.ops.segment_sum(
-                        keep.astype(jnp.int32), t_slot, num_segments=NB)
-                    keepbits = keepbits | (keep.astype(jnp.int32) << o)
+                        keep.astype(jnp.int32), t_slot, num_segments=CB)
+                    kb = row_chunk(keepbits, ch) | (keep.astype(jnp.int32) << o)
+                    keepbits = jax.lax.dynamic_update_slice(
+                        keepbits, kb, (r0,))
                     return keepbits, msum, mcnt, unc, pairs
 
                 init = (jnp.zeros(NB, jnp.int32),
-                        jnp.zeros((NB, D), jnp.int64),
-                        jnp.zeros(NB, jnp.int32),
+                        jnp.zeros((CB, D),
+                                  jnp.int32 if sum32 else jnp.int64),
+                        jnp.zeros(CB, jnp.int32),
                         jnp.zeros((), bool), jnp.zeros((), jnp.int64))
                 keepbits, msum, mcnt, unc, pairs = jax.lax.fori_loop(
-                    0, offsets[1] - offsets[0] + 1, off_body, init)
+                    0, (off_hi - off_lo + 1) * NCHUNK, step_body, init)
                 r, s_floor, g_unc = mean_guards(msum, mcnt)
                 unc = unc | g_unc.any()
                 return keepbits, mcnt, r, s_floor, unc, pairs
 
-            def closest(st, offsets, keepbits, r, s_floor):
+            def closest(st, off_lo: int, off_hi: int, keepbits, r, s_floor):
                 """Per-slot argmin of distance_d(member, rounded mean) over
                 kept pairs, reference gather order for ties.  Returns
-                (best_row [NB] i32 with NB = none, unc)."""
+                (best_row [CB] i32 with NB = none, unc).  Row-chunked; the
+                cross-chunk merge reuses the cross-offset carry compare
+                (sound for the same reason: near-ties that cross a chunk
+                boundary trip the cross_near guard)."""
                 rank, inv, Ctot = ranks(st.alivec)
                 rrank = rank[st.assign]
 
                 class CC(NamedTuple):
-                    oi: jnp.ndarray
-                    vh: jnp.ndarray     # [NB] per-slot best
+                    ci: jnp.ndarray
+                    vh: jnp.ndarray     # [CB] per-slot best
                     vl: jnp.ndarray
-                    key: jnp.ndarray    # [NB] i64 (window, seq) of best
-                    row: jnp.ndarray    # [NB] i32
-                    d2: jnp.ndarray     # [NB] i32 tie signature
-                    mg: jnp.ndarray     # [NB] i64
+                    key: jnp.ndarray    # [CB] i64 (window, seq) of best
+                    row: jnp.ndarray    # [CB] i32
+                    d2: jnp.ndarray     # [CB] i32 tie signature
+                    mg: jnp.ndarray     # [CB] i64
                     unc: jnp.ndarray
 
                 def off_body(cc: CC):
-                    o = offsets[0] + cc.oi
-                    t_rank = rrank + (o - delta)
-                    tvalid = valid_row & (t_rank >= 0) & (t_rank < Ctot) \
-                        & st.alivec[st.assign]
-                    t_slot = inv[jnp.clip(t_rank, 0, NB - 1)]
-                    keep = tvalid & (((keepbits >> o) & 1) > 0)
-                    B = S["counts"].astype(jnp.int32)
+                    oi = cc.ci // NCHUNK
+                    ch = cc.ci % NCHUNK
+                    o = off_lo + oi
+                    r0 = (ch * RC).astype(jnp.int32)
+                    rows = r0 + np.arange(RC, dtype=np.int32)
+                    asg = row_chunk(st.assign, ch)
+                    rr = row_chunk(rrank, ch)
+                    t_rank = rr + (o - delta)
+                    tvalid = (rows < n) & (t_rank >= 0) & (t_rank < Ctot) \
+                        & st.alivec[asg]
+                    t_slot = inv[jnp.clip(t_rank, 0, CB - 1)]
+                    kb = row_chunk(keepbits, ch)
+                    keep = tvalid & (((kb >> o) & 1) > 0)
+                    B = jax.lax.dynamic_slice(
+                        S["counts"], (r0, np.int32(0)),
+                        (RC, D)).astype(jnp.int32)
                     rg = r[t_slot]
                     dist2 = 2 * jnp.minimum(B, rg).sum(axis=1,
                                                        dtype=jnp.int32)
-                    mag = S["mags"].astype(jnp.int64) + s_floor[t_slot]
+                    mag = row_chunk(S["mags"], ch).astype(jnp.int64) \
+                        + s_floor[t_slot]
                     frac = DD.dd_div(DD.dd_from_i64(dist2.astype(jnp.int64)),
                                      DD.dd_from_i64(mag))
                     f2 = DD.dd_mul(frac, frac)
@@ -293,24 +348,28 @@ class DevicePhaseUpdater:
                     vl_ = u[1] * np.float32(10000.0)
                     vh = jnp.where(keep, vh_, pos_inf)
                     vl = jnp.where(keep, vl_, pos_inf)
-                    mh = jax.ops.segment_min(vh, t_slot, num_segments=NB)
+                    mh = jax.ops.segment_min(vh, t_slot, num_segments=CB)
                     is_m = keep & (vh == mh[t_slot])
                     ml = jax.ops.segment_min(jnp.where(is_m, vl, pos_inf),
-                                             t_slot, num_segments=NB)
+                                             t_slot, num_segments=CB)
                     cand = is_m & (vl == ml[t_slot])
                     w = np.int64(2 * delta) - o.astype(jnp.int64)
-                    key = (w << 32) | st.seq.astype(jnp.int64)
+                    key = (w << 32) | row_chunk(st.seq, ch).astype(jnp.int64)
                     ckey = jax.ops.segment_min(
                         jnp.where(cand, key, BIGKEY), t_slot,
-                        num_segments=NB)
-                    crow = jax.ops.segment_min(
+                        num_segments=CB)
+                    # chunk-local argmin row, then absolute
+                    iota = np.arange(RC, dtype=np.int32)
+                    cloc = jax.ops.segment_min(
                         jnp.where(cand & (key == ckey[t_slot]),
-                                  rows_all, np.int32(NB)),
-                        t_slot, num_segments=NB)
-                    have = crow < NB
-                    cd2 = jnp.where(have, dist2[jnp.minimum(crow, NB - 1)], 0)
-                    cmg = jnp.where(have, mag[jnp.minimum(crow, NB - 1)], 0)
-                    # near-tie guard within the offset (exact int-equal safe)
+                                  iota, np.int32(RC)),
+                        t_slot, num_segments=CB)
+                    have = cloc < RC
+                    cloc_c = jnp.minimum(cloc, RC - 1)
+                    crow = jnp.where(have, r0 + cloc_c, np.int32(NB))
+                    cd2 = jnp.where(have, dist2[cloc_c], 0)
+                    cmg = jnp.where(have, mag[cloc_c], 0)
+                    # near-tie guard within the chunk (exact int-equal safe)
                     sig_eq = keep & (dist2 == cd2[t_slot]) \
                         & (mag == cmg[t_slot])
                     scale = jnp.maximum(jnp.abs(mh[t_slot]), np.float32(1.0))
@@ -319,7 +378,7 @@ class DevicePhaseUpdater:
                                            + (vl - ml[t_slot])) <= thr)
                     o_unc = jax.ops.segment_max(
                         (near & ~sig_eq).astype(jnp.int32), t_slot,
-                        num_segments=NB) > 0
+                        num_segments=CB) > 0
 
                     # merge into per-slot carry (lexicographic dd compare)
                     carry_valid = jnp.isfinite(cc.vh)
@@ -338,7 +397,7 @@ class DevicePhaseUpdater:
                     unc_cross = cross_near & ~(leq & sig_eq_c)
                     sel = lambda a, b: jnp.where(take, a, b)
                     return CC(
-                        oi=cc.oi + 1,
+                        ci=cc.ci + 1,
                         vh=sel(mh, cc.vh), vl=sel(ml, cc.vl),
                         key=sel(ckey, cc.key),
                         row=sel(crow, cc.row),
@@ -346,29 +405,30 @@ class DevicePhaseUpdater:
                         unc=cc.unc | o_unc | unc_cross,
                     )
 
-                init = CC(oi=jnp.zeros((), jnp.int32),
-                          vh=jnp.full(NB, pos_inf),
-                          vl=jnp.full(NB, pos_inf),
-                          key=jnp.full(NB, BIGKEY),
-                          row=jnp.full(NB, NB, jnp.int32),
-                          d2=jnp.zeros(NB, jnp.int32),
-                          mg=jnp.zeros(NB, jnp.int64),
-                          unc=jnp.zeros(NB, bool))
-                noff = offsets[1] - offsets[0] + 1
-                cc = jax.lax.while_loop(lambda c: c.oi < noff, off_body,
+                init = CC(ci=jnp.zeros((), jnp.int32),
+                          vh=jnp.full(CB, pos_inf),
+                          vl=jnp.full(CB, pos_inf),
+                          key=jnp.full(CB, BIGKEY),
+                          row=jnp.full(CB, NB, jnp.int32),
+                          d2=jnp.zeros(CB, jnp.int32),
+                          mg=jnp.zeros(CB, jnp.int64),
+                          unc=jnp.zeros(CB, bool))
+                nsteps = (off_hi - off_lo + 1) * NCHUNK
+                cc = jax.lax.while_loop(lambda c: c.ci < nsteps, off_body,
                                         init)
                 return cc.row, (cc.unc & st.alivec).any()
 
-            def recenter(st, offsets):
+            def recenter(st, off_lo: int, off_hi: int):
                 keepbits, mcnt, r, s_floor, unc1, pairs = \
-                    filter_mean(st, offsets)
-                best_row, unc2 = closest(st, offsets, keepbits, r, s_floor)
+                    filter_mean(st, off_lo, off_hi)
+                best_row, unc2 = closest(st, off_lo, off_hi, keepbits, r,
+                                         s_floor)
                 return best_row, mcnt, unc1 | unc2, pairs
 
             def merge_pass(st):
                 """Merge decisions + sequential absorb replay."""
                 rank, inv, Ctot = ranks(st.alivec)
-                slots = np.arange(NB, dtype=np.int32)
+                slots = np.arange(CB, dtype=np.int32)
 
                 class MC(NamedTuple):
                     q: jnp.ndarray
@@ -384,7 +444,7 @@ class DevicePhaseUpdater:
                 def q_body(mc: MC):
                     tq = rank + mc.q
                     tvalid = st.alivec & (tq < Ctot)
-                    j_slot = inv[jnp.clip(tq, 0, NB - 1)]
+                    j_slot = inv[jnp.clip(tq, 0, CB - 1)]
                     ci = st.cen[slots]
                     cj = st.cen[j_slot]
                     lp = tvalid & (S["lens"][cj] >= S["blen"][ci]) \
@@ -424,18 +484,18 @@ class DevicePhaseUpdater:
                     )
 
                 init = MC(q=jnp.ones((), jnp.int32),
-                          any=jnp.zeros(NB, bool),
-                          bh=jnp.full(NB, neg_inf),
-                          bl=jnp.full(NB, neg_inf),
-                          berr=jnp.zeros(NB, jnp.float32),
-                          bj=jnp.full(NB, NB, jnp.int32),
-                          sig=(jnp.full(NB, -1, jnp.int32),),
-                          unc=jnp.zeros(NB, bool),
+                          any=jnp.zeros(CB, bool),
+                          bh=jnp.full(CB, neg_inf),
+                          bl=jnp.full(CB, neg_inf),
+                          berr=jnp.zeros(CB, jnp.float32),
+                          bj=jnp.full(CB, CB, jnp.int32),
+                          sig=(jnp.full(CB, -1, jnp.int32),),
+                          unc=jnp.zeros(CB, bool),
                           pairs=jnp.zeros((), jnp.int64))
                 mc = jax.lax.while_loop(lambda c: c.q <= delta, q_body,
                                         init)
                 t_dst = jnp.where(mc.any & st.alivec, mc.bj,
-                                  np.int32(NB))
+                                  np.int32(CB))
                 unc = (mc.unc & st.alivec).any()
 
                 # sequential replay over merge EVENTS (ascending slot ==
@@ -463,14 +523,13 @@ class DevicePhaseUpdater:
                     lambda r_: r_.pending.any(), rp_body,
                     RP(assign=st.assign, seq=st.seq, clen=st.clen,
                        alivec=st.alivec,
-                       pending=st.alivec & (t_dst < NB)))
+                       pending=st.alivec & (t_dst < CB)))
                 return st._replace(assign=rp.assign, seq=rp.seq,
                                    clen=rp.clen, alivec=rp.alivec), \
                     unc, mc.pairs
 
             def iteration(st: St):
-                best_row, mcnt, unc1, pairs1 = recenter(
-                    st, (np.int32(0), np.int32(2 * delta)))
+                best_row, mcnt, unc1, pairs1 = recenter(st, 0, 2 * delta)
                 # kept-empty + delta>0: center unchanged
                 new_cen = jnp.where(
                     st.alivec & (mcnt > 0) & (best_row < NB),
@@ -520,12 +579,11 @@ class DevicePhaseUpdater:
             st = jax.lax.while_loop(lambda s: ~s.done, body, st)
 
             def final_pass(st: St):
-                best_row, mcnt, unc, pairs = recenter(
-                    st, (np.int32(delta), np.int32(delta)))
+                best_row, mcnt, unc, pairs = recenter(st, delta, delta)
                 # kept-empty + delta==0: members[0] = the seq==0 row
-                fm = jnp.zeros(NB, jnp.int32).at[
+                fm = jnp.zeros(CB, jnp.int32).at[
                     jnp.where(valid_row & (st.seq == 0), st.assign,
-                              np.int32(NB))
+                              np.int32(CB))
                 ].set(np.arange(NB, dtype=np.int32), mode="drop")
                 new_cen = jnp.where(
                     st.alivec,
@@ -543,80 +601,80 @@ class DevicePhaseUpdater:
 
             st = jax.lax.cond(
                 st.abort == 0, final_pass, lambda s: s, st)
-            return (st.abort, st.it, st.hist, st.assign, st.seq, st.cen,
-                    st.alivec, st.clen, st.pairs)
+            # ONE packed i64 output (one fetch round trip, see device_loop):
+            #   [0:3]               abort, it, pairs
+            #   [3:3+ITER]          hist
+            #   [HDR:HDR+NB]        per-row: assign<<32 | seq
+            #   [HDR+NB:HDR+NB+CB]  per-slot: cen<<32 | clen<<1 | alivec
+            i64 = lambda v: v.astype(jnp.int64)
+            head = jnp.concatenate([
+                jnp.stack([i64(st.abort), i64(st.it), st.pairs]),
+                i64(st.hist)])
+            rowp = (i64(st.assign) << 32) | i64(st.seq)
+            slotp = (i64(st.cen) << 32) | (i64(st.clen) << 1) \
+                | i64(st.alivec)
+            return jnp.concatenate([head, rowp, slotp])
 
-        return jax.jit(program)
+        return program
 
     # -- host API ---------------------------------------------------------------
 
-    def ensure_ready(self) -> None:
+    def _store_arrays(self):
+        if getattr(self, "_S", None) is None:
+            self._S = {
+                "counts": self.store.counts, "mags": self.store.mags,
+                "selfdot": self.store.selfdot, "lens": self.store.lens,
+                "std_h": self.store.std_h, "std_l": self.store.std_l,
+                "blen": self.store.blen, "elen": self.store.elen,
+            }
+        return self._S
+
+    def _get_compiled(self, cb: int):
         import jax
         import jax.numpy as jnp
 
-        if self._compiled is not None:
-            return
+        got = self._compiled_by_cb.get(cb)
+        if got is not None:
+            return got
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
-        S = {
-            "counts": self.store.counts, "mags": self.store.mags,
-            "selfdot": self.store.selfdot, "lens": self.store.lens,
-            "std_h": self.store.std_h, "std_l": self.store.std_l,
-            "blen": self.store.blen, "elen": self.store.elen,
-        }
-        self._S = S
+        S = self._store_arrays()
         NB = self.NB
-        zi = jnp.zeros(NB, jnp.int32)
-        zb = jnp.zeros(NB, bool)
-        prog = self._build()
-        self._compiled = prog.lower(
-            S, zi, zi, zi, zb, zi, np.int32(0)).compile()
+        zr = jnp.zeros(NB, jnp.int32)
+        zi = jnp.zeros(cb, jnp.int32)
+        zb = jnp.zeros(cb, bool)
+        prog = self._build(cb)
+        compiled = jax.jit(prog).lower(
+            S, zr, zr, zi, zb, zi, np.int32(0)).compile()
+        self._compiled_by_cb[cb] = compiled
+        return compiled
 
-    def run(self, clusters) -> Optional[PhaseResult]:
-        """clusters: list of objects with .center_row / .members (natural
-        rows, reference order).  Returns a PhaseResult; None when the slot
-        count exceeds the store's row bucket (cannot happen in practice —
-        slots <= rows)."""
-        import time as _time
+    def ensure_ready(self) -> None:
+        self._get_compiled(self.CB)
 
-        import jax.numpy as jnp
-
-        self.ensure_ready()
+    def unpack(self, packed: np.ndarray, cb: int) -> PhaseResult:
+        """PhaseResult from the program's single packed i64 output."""
         NB = self.NB
+        ITER = self.iterations
         n = self.ps.n
-        C0 = len(clusters)
-        if C0 > NB:
-            return None
-        assign0 = np.zeros(NB, np.int32)
-        seq0 = np.zeros(NB, np.int32)
-        cen0 = np.zeros(NB, np.int32)
-        alivec0 = np.zeros(NB, bool)
-        clen0 = np.zeros(NB, np.int32)
-        for j, cl in enumerate(clusters):
-            mem = np.asarray(cl.members, dtype=np.int64)
-            assign0[mem] = j
-            seq0[mem] = np.arange(len(mem), dtype=np.int32)
-            cen0[j] = cl.center_row
-            alivec0[j] = True
-            clen0[j] = len(mem)
-        t0 = _time.time()
-        res = self._compiled(
-            self._S, jnp.asarray(assign0), jnp.asarray(seq0),
-            jnp.asarray(cen0), jnp.asarray(alivec0), jnp.asarray(clen0),
-            np.int32(n))
-        abort, it, hist, assign, seq, cen, alivec, clen, pairs = (
-            np.asarray(x) for x in res)
-        self.last_exec_seconds = _time.time() - t0
-        abort = int(abort)
-        it = int(it)
-        assign = assign[:n]
-        seq = seq[:n]
+        abort = int(packed[0])
+        it = int(packed[1])
+        pairs = int(packed[2])
+        hist = packed[3:3 + ITER]
+        HDR = 3 + ITER
+        rowp = packed[HDR:HDR + NB][:n]
+        assign = (rowp >> 32).astype(np.int64)
+        seq = (rowp & 0xFFFFFFFF).astype(np.int64)
+        slotp = packed[HDR + NB:HDR + NB + cb]
+        cen = (slotp >> 32).astype(np.int64)
+        clen = ((slotp >> 1) & 0x7FFFFFFF).astype(np.int64)
+        alivec = (slotp & 1).astype(bool)
 
         # reconstruct clusters in slot (creation) order, members by seq
         order = np.lexsort((seq, assign))
         a_sorted = assign[order]
         slots = np.nonzero(alivec)[0]
-        bounds = np.searchsorted(a_sorted, np.concatenate([slots, [NB]]))
+        bounds = np.searchsorted(a_sorted, np.concatenate([slots, [cb]]))
         out = []
         for k, s in enumerate(slots):
             mem = order[bounds[k]:bounds[k + 1]]
@@ -625,4 +683,56 @@ class DevicePhaseUpdater:
                 raise RuntimeError("device phase clen mismatch")
         return PhaseResult(abort=abort, it=it,
                            hist=[int(h) for h in hist[:it]],
-                           clusters=out, pairs=int(pairs))
+                           clusters=out, pairs=pairs)
+
+    def pick_cb(self, C0: int) -> Optional[int]:
+        """Smallest usable slot bucket for C0 clusters (None = fall back)."""
+        if C0 <= self.CB:
+            return self.CB
+        cb = _shape_bucket(C0)
+        if cb > self.NB:
+            return None
+        try:
+            self._check_cb(cb)
+        except DeviceLoopUnsupported:
+            return None
+        return cb
+
+    def init_arrays(self, clusters, cb: int):
+        NB = self.NB
+        assign0 = np.zeros(NB, np.int32)
+        seq0 = np.zeros(NB, np.int32)
+        cen0 = np.zeros(cb, np.int32)
+        alivec0 = np.zeros(cb, bool)
+        clen0 = np.zeros(cb, np.int32)
+        for j, cl in enumerate(clusters):
+            mem = np.asarray(cl.members, dtype=np.int64)
+            assign0[mem] = j
+            seq0[mem] = np.arange(len(mem), dtype=np.int32)
+            cen0[j] = cl.center_row
+            alivec0[j] = True
+            clen0[j] = len(mem)
+        return assign0, seq0, cen0, alivec0, clen0
+
+    def run(self, clusters) -> Optional[PhaseResult]:
+        """clusters: list of objects with .center_row / .members (natural
+        rows, reference order).  Returns a PhaseResult; None when the slot
+        count exceeds every usable bucket."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        C0 = len(clusters)
+        cb = self.pick_cb(C0)
+        if cb is None:
+            return None
+        compiled = self._get_compiled(cb)
+        assign0, seq0, cen0, alivec0, clen0 = self.init_arrays(clusters, cb)
+        t0 = _time.time()
+        res = compiled(
+            self._store_arrays(), jnp.asarray(assign0), jnp.asarray(seq0),
+            jnp.asarray(cen0), jnp.asarray(alivec0), jnp.asarray(clen0),
+            np.int32(self.ps.n))
+        packed = np.asarray(res)        # the ONE fetch round trip
+        self.last_exec_seconds = _time.time() - t0
+        return self.unpack(packed, cb)

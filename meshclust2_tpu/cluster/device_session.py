@@ -92,14 +92,165 @@ class DeviceStore:
                 self.std_h, self.std_l)
 
 
+class DeviceCombined:
+    """ONE compiled program for the whole clustering run: the accumulate
+    while_loop, a device-side conversion of its final state into
+    update-phase state (sort by (cluster, astep, flat) -> per-row slot/seq,
+    per-slot center/len), and the entire update/merge phase — so a complete
+    recover-path run is a single dispatch + a single value fetch.  Round 4
+    paid two tunnel round trips (accumulate fetch ~0.2 s + update-phase
+    state upload/fetch ~0.9 s) on a 1.4 s clustering window; this folds
+    them (VERDICT r4 next-step 7).
+
+    Abort semantics are unchanged: an accumulate margin abort skips the
+    phase (the packed phase section reads -1) and the host resume machinery
+    relaunches THIS program; a phase abort carries the phase state out for
+    the per-iteration host continuation."""
+
+    def __init__(self, acc: DeviceAccumulator, phase):
+        self.acc = acc
+        self.phase = phase
+
+    def ensure_ready(self, bv: BVec) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        acc, phase = self.acc, self.phase
+        host, dev = acc._prepare(bv)
+        if "counts_nat" not in dev:
+            raise DeviceLoopUnsupported(
+                "combined program requires the shared device store")
+        acc._build_program(host, dev)     # sets acc._core_program
+        core = acc._core_program
+        CB = phase.CB
+        NBp = phase.NB
+        npad = len(dev["lens"])
+        phase_core = phase._build(CB)
+        LPH = 3 + phase.iterations + NBp + CB
+        self._LPH = LPH
+        self._npad = npad
+
+        def combined(Cacc, S):
+            packed, alive, assign, astep, centers = core(Cacc)
+            abort = packed[0]
+            cid = packed[1]
+            n_s = Cacc["n"].astype(jnp.int32)
+
+            def do_phase(_):
+                i64 = jnp.int64
+                # flat (bvec-order) -> natural rows; pad rows drop
+                nat_idx = jnp.where(
+                    jnp.arange(npad, dtype=jnp.int32) < n_s,
+                    Cacc["order_pad"], np.int32(NBp))
+                flat = jnp.arange(npad, dtype=jnp.int64)
+                nL = n_s.astype(i64)
+                K2 = np.int64(npad)
+                K1 = (3 * nL + 32) * K2
+                key = (assign.astype(i64) + 1) * K1 \
+                    + astep.astype(i64) * K2 + flat
+                idxs = jnp.argsort(key)
+                s_assign = assign[idxs]
+                starts = jnp.searchsorted(
+                    s_assign, jnp.arange(CB + 1, dtype=jnp.int32))
+                pos = jnp.arange(npad, dtype=jnp.int32)
+                seq_sorted = pos - starts[
+                    jnp.clip(s_assign, 0, CB)].astype(jnp.int32)
+                nat_sorted = nat_idx[idxs]
+                tgt = jnp.where(s_assign >= 0, nat_sorted, np.int32(NBp))
+                assign_nat = jnp.zeros(NBp, jnp.int32).at[tgt].set(
+                    jnp.clip(s_assign, 0, CB - 1), mode="drop")
+                seq_nat = jnp.zeros(NBp, jnp.int32).at[tgt].set(
+                    seq_sorted, mode="drop")
+                slot_alive = jnp.arange(CB, dtype=jnp.int32) \
+                    < cid.astype(jnp.int32)
+                cen0 = nat_idx[jnp.clip(centers[:CB], 0, npad - 1)]
+                cen0 = jnp.where(slot_alive, cen0, 0)
+                clen0 = jnp.where(
+                    slot_alive, (starts[1:] - starts[:-1]).astype(jnp.int32),
+                    0)
+                return phase_core(S, assign_nat, seq_nat, cen0,
+                                  slot_alive, clen0, n_s)
+
+            def skip(_):
+                return jnp.full(LPH, np.int64(-1))
+
+            can = (abort == 0) & (cid <= np.int64(CB)) & (cid > 0)
+            ph = jax.lax.cond(can, do_phase, skip, None)
+            return (jnp.concatenate([packed, ph]), alive, assign, astep,
+                    centers)
+
+        S = phase._store_arrays()
+        t0 = time.time()
+        Cdev = {k: jnp.asarray(v) for k, v in dev.items()}
+        t1 = time.time()
+        lowered = jax.jit(combined).lower(Cdev, S)
+        t2 = time.time()
+        compiled = lowered.compile()
+        t3 = time.time()
+        # force ALL uploads to completion with ONE fetch: a tiny program
+        # consuming every argument (each np.asarray through the tunnel is a
+        # 0.1-1.5 s round trip; per-array forcing cost 33 s of bring-up)
+        def touch(Cacc, Sarr):
+            import jax as _jax
+
+            leaves = _jax.tree_util.tree_leaves((Cacc, Sarr))
+            tot = jnp.int32(0)
+            for v in leaves:
+                x = v.ravel()[-1] if getattr(v, "ndim", 0) else v
+                tot = tot + x.astype(jnp.int32)
+            return tot
+        np.asarray(jax.jit(touch)(Cdev, S))
+        t4 = time.time()
+        if os.environ.get("MC2_DEVICE_PROF"):
+            print(f"device combined ready: upload-dispatch {t1 - t0:.2f}s, "
+                  f"trace+lower {t2 - t1:.2f}s, compile {t3 - t2:.2f}s, "
+                  f"arg-force {t4 - t3:.2f}s", flush=True)
+        self._ready = (host, Cdev, compiled)
+        # acc.make_carry/_ready_matches read acc._ready's host/Cdev
+        acc._ready = (host, Cdev, None)
+        acc._compile_patch_apply(npad)
+
+    def run(self, bv: BVec, carry: Optional[dict] = None):
+        """(clusters_raw, resume_state, phase_result): phase_result is a
+        PhaseResult when the run completed accumulation AND executed the
+        update phase on device, else None."""
+        import jax.numpy as jnp
+
+        host, Cdev, compiled = self._ready
+        acc = self.acc
+        profile = bool(os.environ.get("MC2_DEVICE_PROF"))
+        t0 = time.time()
+        if carry is not None:
+            Cdev = dict(Cdev)
+            Cdev.update({k: jnp.asarray(v) for k, v in carry.items()})
+        res = compiled(Cdev, self.phase._store_arrays())
+        full = np.asarray(res[0])       # the ONE fetch round trip
+        t1 = time.time()
+        acc.last_exec_seconds = t1 - t0
+        self.last_exec_seconds = t1 - t0
+        npad = self._npad
+        LACC = 8 + 2 * npad
+        if profile:
+            print(f"device combined: execute {t1 - t0:.2f}s", flush=True)
+        clusters, state = acc.consume(full[:LACC], res, host, npad)
+        phase_res = None
+        if state is None:
+            ph_packed = full[LACC:]
+            if ph_packed[0] >= 0:
+                self.phase.last_exec_seconds = t1 - t0
+                phase_res = self.phase.unpack(ph_packed, self.phase.CB)
+        return clusters, state, phase_res
+
+
 class DeviceSession:
     """Everything device-side for one clustering run, built eagerly so the
     clustering phases only execute.
 
-    Construction uploads the store, builds the pristine BVec, prepares and
-    compiles the accumulate program, builds the update-phase machinery, and
-    forces all uploads.  Raises DeviceLoopUnsupported when the dataset or
-    model is outside the exact-arithmetic envelope.
+    Construction uploads the store, builds the pristine BVec, compiles the
+    COMBINED accumulate+update program (one dispatch for the whole run),
+    builds the per-iteration update kernels (the fallback path), and forces
+    all uploads.  Raises DeviceLoopUnsupported when the dataset or model is
+    outside the exact-arithmetic envelope.
     """
 
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
@@ -129,28 +280,31 @@ class DeviceSession:
         self.accumulator = DeviceAccumulator(
             ps, model, self.sim, shared_counts=self.store.counts)
         t1 = time.time()
-        self.accumulator.ensure_ready(self.bv)
-        t2 = time.time()
 
-        # whole-phase update program (device_phase): optional — a build
-        # failure must not take down the run; the engine falls back to the
-        # per-iteration update kernels
+        # combined whole-run program; on a build failure fall back to the
+        # standalone accumulate program (phase then runs per-iteration)
         self.phase = None
+        self.combined = None
         try:
             from .device_phase import DevicePhaseUpdater
 
-            self.phase = DevicePhaseUpdater(
+            phase = DevicePhaseUpdater(
                 ps, model, self.sim, self.store, delta=delta,
                 iterations=iterations)
-            self.phase.ensure_ready()
+            self.combined = DeviceCombined(self.accumulator, phase)
+            self.combined.ensure_ready(self.bv)
+            self.phase = phase
         except DeviceLoopUnsupported:
-            self.phase = None
-        t3 = time.time()
-        t_force = self.store.force()
+            self.combined = None
+            self.accumulator.ensure_ready(self.bv)
+        t2 = time.time()
+        # the combined ensure_ready's touch program already forced the
+        # store arrays (they are the phase's S pack) in its single fetch
+        t_force = 0.0 if self.combined is not None else self.store.force()
         if profile:
             print(f"device session: store+updater {t1 - t0:.2f}s, "
                   f"accumulate ready {t2 - t1:.2f}s, "
-                  f"phase ready {t3 - t2:.2f}s, force {t_force:.2f}s",
+                  f"phase ready 0.00s, force {t_force:.2f}s",
                   flush=True)
 
 

@@ -366,8 +366,13 @@ class MeanShiftEngine:
             return None
         from .device_loop import DeviceAccumulator, DeviceLoopUnsupported
 
+        comb = None
         if self.device_session is not None:
             acc = self.device_session.accumulator
+            # the combined program also runs the whole update phase in the
+            # same dispatch; its result rides to update_phase via
+            # _pending_phase_result (ignored on checkpointed runs)
+            comb = self.device_session.combined
         else:
             try:
                 # the updater's device-resident counts (natural order,
@@ -382,7 +387,16 @@ class MeanShiftEngine:
                     raise
                 print(f"device accumulate unavailable ({e}); using host path")
                 return None
-        raw, state = acc.run(bv)
+
+        def launch(bv_, carry=None):
+            if comb is not None:
+                raw, state, phres = comb.run(bv_, carry=carry)
+                self._pending_phase_result = phres
+                return raw, state
+            return acc.run(bv_, carry=carry) if carry is not None \
+                else acc.run(bv_)
+
+        raw, state = launch(bv)
         self.stats.windows_scored += getattr(acc, "last_windows", 0)
         self.stats.pairs_scored += getattr(acc, "last_pairs", 0)
         if raw is not None:
@@ -416,7 +430,7 @@ class MeanShiftEngine:
                 current, last, alive_rows)
             if os.environ.get("MC2_DEVICE_PROF"):
                 print(f"device accumulate: resolve+carry {(_time.time() - t_res):.2f}s")
-            raw, state = acc.run(bv2, carry=carry)
+            raw, state = launch(bv2, carry=carry)
             self.stats.windows_scored += getattr(acc, "last_windows", 0)
             self.stats.pairs_scored += getattr(acc, "last_pairs", 0)
             resumes += 1
@@ -462,7 +476,15 @@ class MeanShiftEngine:
         """Resolve up to k accumulate steps exactly (f64 semantics) from a
         device abort point (device_loop.ResumeState).  Returns
         (clusters_done, current_rows, last_row, bv) after the steps;
-        last_row None means the pool emptied and clustering is complete."""
+        last_row None means the pool emptied and clustering is complete.
+
+        Routed through the native resume driver when the model is
+        native-supported (native/accumulate.cpp:accumulate_resume — the
+        Python per-step path cost ~84 s across the 1M run's 8 abort-resume
+        cycles); the Python loop below is the exact-semantics fallback."""
+        native = self._resolve_steps_native(state, k)
+        if native is not None:
+            return native
         bv = state.bv
         clusters = [Cluster(center_row=c, members=m)
                     for c, m in state.clusters_done]
@@ -494,6 +516,45 @@ class MeanShiftEngine:
                 current.extend(bv.remove_available(front, back))
                 last = self._get_mean(current)
         return clusters, current, last, bv
+
+    def _resolve_steps_native(self, state, k: int):
+        """Native-driver _resolve_steps (bit-identical decisions; the
+        native scorer is the proven-equal oracle).  None = use the Python
+        fallback."""
+        import os
+
+        if os.environ.get("MC2_NO_NATIVE_RESOLVE"):
+            return None
+        if getattr(self, "_resolve_native_failed", False):
+            return None
+        sc = getattr(self, "_resolve_native_scorer", None)
+        if sc is None:
+            from ..native import NativeScorer
+
+            sc = NativeScorer.create(self.ps, self.model)
+            if sc is None or self.row_fetcher is not None:
+                self._resolve_native_failed = True
+                return None
+            self._resolve_native_scorer = sc
+        current = list(state.current_rows) or [state.last_row]
+        res = sc.resume(state.bv, self.sim, current, state.last_row,
+                        state.stage == 2, k)
+        if res is None:
+            self._resolve_native_failed = True
+            return None
+        clusters_raw, cur, last, bins, windows, pairs = res
+        self.stats.windows_scored += windows
+        self.stats.pairs_scored += pairs
+        clusters = [Cluster(center_row=c, members=m)
+                    for c, m in state.clusters_done]
+        clusters.extend(Cluster(center_row=int(c), members=m.tolist())
+                        for c, m in clusters_raw)
+        bv = state.bv
+        if last is None:
+            return clusters, None, None, bv
+        bv.bins = [np.asarray(b, dtype=np.int64) for b in bins]
+        bv.marks = [np.zeros(len(b), dtype=bool) for b in bins]
+        return clusters, cur.tolist(), int(last), bv
 
     def _native_accumulate(self, bv: BVec, prog) -> Optional[List[Cluster]]:
         """One-call native accumulate driver (native/accumulate.cpp): the
@@ -800,16 +861,24 @@ class MeanShiftEngine:
         num_clusters = list(num_clusters) if num_clusters else []
         prog = Progress(self.iterations, "Update")  # ClusterFactory.cpp:634
         prog.set(start_it)
+        pending = getattr(self, "_pending_phase_result", None)
+        self._pending_phase_result = None
         if (self.device_session is not None
                 and self.device_session.phase is not None
                 and checkpoint is None and start_it == 0):
-            # whole update phase in ONE device dispatch
-            # (cluster/device_phase.py); on a margin abort the per-iteration
-            # paths below resume from the abort iteration (an abort==2 run
-            # re-breaks immediately in the host loop — the early-stop
-            # condition that ended the device loop holds verbatim — and
-            # only the final delta=0 pass is redone on the host)
-            res = self.device_session.phase.run(clusters)
+            # whole update phase in ONE device dispatch — usually already
+            # executed inside the combined accumulate+update program
+            # (_pending_phase_result); the standalone phase program is used
+            # only when it is already compiled (compiling mid-run through a
+            # tunneled link costs more than the per-iteration fallback).
+            # On a margin abort the per-iteration paths below resume from
+            # the abort iteration (an abort==2 run re-breaks immediately in
+            # the host loop — the early-stop condition that ended the
+            # device loop holds verbatim — and only the final delta=0 pass
+            # is redone on the host)
+            res = pending
+            if res is None and self.device_session.phase._compiled is not None:
+                res = self.device_session.phase.run(clusters)
             if res is not None:
                 clusters[:] = [Cluster(center_row=c, members=m)
                                for c, m in res.clusters]

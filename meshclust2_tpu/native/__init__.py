@@ -109,6 +109,22 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64p, i64p, i64p, i64p,              # outputs
     ]
     lib.accumulate_run.restype = ctypes.c_int
+    lib.accumulate_resume.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, _f64p,
+        ctypes.c_int64, ctypes.c_int64,                  # points view
+        _i32p, _f64p, _f64p, _u8p, ctypes.c_int32,       # singles
+        _i32p, _i32p, _i32p, ctypes.c_int32,             # combos
+        _f64p, ctypes.c_double,                          # weights, bias
+        ctypes.c_double,                                 # similarity
+        i64p, i64p, i64p, ctypes.c_int64,                # bvec bins
+        i64p, ctypes.c_int64, ctypes.c_int64,            # open cluster, last
+        ctypes.c_int32, ctypes.c_int64,                  # pending_mean, steps
+        i64p, i64p, i64p, i64p,                          # cluster outputs
+        i64p, i64p, i64p,                                # cur, n_cur, last
+        i64p, i64p,                                      # pool state out
+        i64p, i64p,                                      # windows, pairs
+    ]
+    lib.accumulate_resume.restype = ctypes.c_int
     lib.update_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, i64p, i64p, _f64p, _f64p,
         ctypes.c_int64, ctypes.c_int64,                  # points view
@@ -801,6 +817,90 @@ class NativeScorer:
             int(stats[1]),
             int(stats[2]),
         )
+
+    def resume(self, bv, sim: float, cur_members, last: int,
+               pending_mean: bool, max_steps: int):
+        """Run up to `max_steps` accumulate steps natively from an
+        arbitrary mid-phase state (engine._resolve_steps semantics: one
+        step = one pending-mean resolution or one window scan).  Returns
+        (clusters_raw, cur_members, last, bv_state, windows, pairs) where
+        clusters_raw is [(center, members_array)], last is None when the
+        pool emptied (run complete), and bv_state is (bin_rows_per_bin
+        list) to rebuild the pool — or None when the driver declines."""
+        n = len(self._lengths)
+        bin_rows = (
+            np.concatenate(bv.bins) if bv.bins else np.zeros(0, np.int64)
+        )
+        bin_rows = np.ascontiguousarray(bin_rows, dtype=np.int64)
+        nb = len(bv.bins)
+        bin_offsets = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bv.bins], out=bin_offsets[1:])
+        bounds = np.ascontiguousarray(bv._bounds_arr, dtype=np.int64)
+        cur = np.ascontiguousarray(
+            np.asarray(cur_members, dtype=np.int64))
+        centers = np.empty(n, dtype=np.int64)
+        offsets = np.empty(n + 1, dtype=np.int64)
+        members = np.empty(n, dtype=np.int64)
+        out_cur = np.empty(n, dtype=np.int64)
+        out_rows = np.empty(max(n, 1), dtype=np.int64)
+        out_boff = np.empty(nb + 1, dtype=np.int64)
+        scal = np.zeros(5, dtype=np.int64)  # n_clusters, n_cur, last, w, p
+        rc = self._lib.accumulate_resume(
+            self._counts.ctypes.data_as(ctypes.c_void_p),
+            self._elem_width,
+            self._mags.ctypes.data_as(_i64p),
+            self._lengths.ctypes.data_as(_i64p),
+            self._stddevs.ctypes.data_as(_f64p),
+            self._self_dots.ctypes.data_as(_f64p),
+            self._counts.shape[1], n,
+            self._single_ids.ctypes.data_as(_i32p),
+            self._mins.ctypes.data_as(_f64p),
+            self._maxs.ctypes.data_as(_f64p),
+            self._is_sim.ctypes.data_as(_u8p),
+            len(self._single_ids),
+            self._ck.ctypes.data_as(_i32p),
+            self._c0.ctypes.data_as(_i32p),
+            self._c1.ctypes.data_as(_i32p),
+            len(self._ck),
+            self._weights.ctypes.data_as(_f64p),
+            self._bias,
+            float(sim),
+            bin_rows.ctypes.data_as(_i64p),
+            bin_offsets.ctypes.data_as(_i64p),
+            bounds.ctypes.data_as(_i64p),
+            nb,
+            cur.ctypes.data_as(_i64p),
+            len(cur),
+            int(last),
+            1 if pending_mean else 0,
+            int(max_steps),
+            centers.ctypes.data_as(_i64p),
+            offsets.ctypes.data_as(_i64p),
+            members.ctypes.data_as(_i64p),
+            scal[0:].ctypes.data_as(_i64p),
+            out_cur.ctypes.data_as(_i64p),
+            scal[1:].ctypes.data_as(_i64p),
+            scal[2:].ctypes.data_as(_i64p),
+            out_rows.ctypes.data_as(_i64p),
+            out_boff.ctypes.data_as(_i64p),
+            scal[3:].ctypes.data_as(_i64p),
+            scal[4:].ctypes.data_as(_i64p),
+        )
+        if rc != 0:
+            return None
+        n_cl = int(scal[0])
+        clusters_raw = [
+            (int(centers[i]), members[offsets[i]:offsets[i + 1]].copy())
+            for i in range(n_cl)
+        ]
+        out_last = int(scal[2])
+        if out_last < 0:
+            return (clusters_raw, None, None, None,
+                    int(scal[3]), int(scal[4]))
+        bins = [out_rows[out_boff[b]:out_boff[b + 1]].copy()
+                for b in range(nb)]
+        return (clusters_raw, out_cur[:int(scal[1])].copy(), out_last,
+                bins, int(scal[3]), int(scal[4]))
 
     def update(self, clusters, sim: float, delta: int, iterations: int,
                progress_step=None, start_it: int = 0,

@@ -441,6 +441,204 @@ int accumulate_run_t(const PointsView<T>& v, const ModelSpec& m, int64_t n,
     return 0;
 }
 
+// Resumable entry: run the SAME loop from an arbitrary mid-phase state
+// (open cluster `members` centered on `last`, pool = the given bins) for at
+// most `max_steps` steps, where one step = one pending-mean resolution OR
+// one window scan (exactly cluster/engine.py:_resolve_steps semantics —
+// this is the host side of the device loop's margin-abort-resume, which at
+// 1M sequences spent ~84 s in the Python per-step path).
+template <typename T>
+int accumulate_resume_t(
+    const PointsView<T>& v, const ModelSpec& m, int64_t n, double sim,
+    const int64_t* bin_rows, const int64_t* bin_offsets,
+    const int64_t* bounds, int64_t n_bins,
+    const int64_t* cur_members, int64_t n_cur, int64_t last,
+    int32_t pending_mean, int64_t max_steps,
+    int64_t* out_centers, int64_t* out_member_offsets, int64_t* out_members,
+    int64_t* out_n_clusters,
+    int64_t* out_cur, int64_t* out_n_cur, int64_t* out_last,
+    int64_t* out_bin_rows, int64_t* out_bin_offsets,
+    int64_t* out_windows, int64_t* out_pairs) {
+    ScorePlan<T> plan;
+    if (!plan.build(m, v.self_dots)) return -1;
+
+    BVecNative bv;
+    bv.bounds = bounds;
+    bv.lengths = v.lengths;
+    bv.nb = n_bins;
+    bv.rows.resize(n_bins);
+    bv.marks.resize(n_bins);
+    for (int64_t i = 0; i < n_bins; i++) {
+        int64_t s = bin_offsets[i], e = bin_offsets[i + 1];
+        bv.rows[i].assign(bin_rows + s, bin_rows + e);
+        bv.marks[i].assign(e - s, 0);
+    }
+
+    std::vector<int64_t> cache_stamp(n, 0);
+    std::vector<double> cache_prob(n), cache_dist(n);
+    int64_t cache_center = -1, cache_epoch = 0;
+
+    std::vector<int64_t> cand_rows, cand_bins, cand_slots;
+    std::vector<double> prob, dist;
+    std::vector<double> top_buf(2 * v.dim);
+    std::vector<int64_t> members(cur_members, cur_members + n_cur);
+    std::vector<double> member_sum(v.dim, 0.0);
+    size_t summed_upto = 0;
+
+    int64_t windows = 0, pairs = 0;
+    int64_t n_clusters = 0, member_pos = 0;
+    out_member_offsets[0] = 0;
+
+    auto fold_members = [&]() {
+        for (; summed_upto < members.size(); summed_upto++) {
+            const T* row = v.row(members[summed_upto]);
+            for (int64_t i = 0; i < v.dim; i++) member_sum[i] += row[i];
+        }
+    };
+    auto dump_state = [&](int64_t out_last_val) {
+        *out_n_clusters = n_clusters;
+        *out_windows = windows;
+        *out_pairs = pairs;
+        *out_last = out_last_val;
+        *out_n_cur = (int64_t)members.size();
+        for (size_t i = 0; i < members.size(); i++) out_cur[i] = members[i];
+        int64_t pos = 0;
+        out_bin_offsets[0] = 0;
+        for (int64_t b = 0; b < n_bins; b++) {
+            for (int64_t r : bv.rows[b]) out_bin_rows[pos++] = r;
+            out_bin_offsets[b + 1] = pos;
+        }
+        return 0;
+    };
+
+    for (int64_t step = 0; step < max_steps; step++) {
+        if (pending_mean) {
+            // stage-2 abort: the absorb already applied; redo only the
+            // closest-to-mean with exact f64 semantics
+            fold_members();
+            last = mc2::closest_to_mean_presummed(
+                v, members, member_sum.data(), &top_buf,
+                /*allow_parallel=*/true);
+            pending_mean = 0;
+            continue;
+        }
+        int64_t length = v.lengths[last];
+        int64_t begin_len = (int64_t)((double)length * sim);
+        int64_t end_len = (int64_t)((double)length / sim);
+        BVecNative::Pos front{0, 0}, back{0, 0};
+        bool back_empty;
+        bv.get_range(begin_len, end_len, &front, &back, &back_empty);
+
+        bool is_min = false;
+        int64_t best_row = -1, best_bin = -1, best_slot = -1;
+        if (back_empty) {
+            is_min = true;
+        } else {
+            cand_rows.clear();
+            cand_bins.clear();
+            cand_slots.clear();
+            int64_t r = front.bin, c = front.slot;
+            while (r < bv.nb && c >= (int64_t)bv.rows[r].size()) {
+                r++;
+                c = 0;
+            }
+            while (r < bv.nb &&
+                   (r < back.bin || (r == back.bin && c < back.slot))) {
+                int64_t hi = (r == back.bin) ? back.slot
+                                             : (int64_t)bv.rows[r].size();
+                for (; c < hi; c++) {
+                    int64_t row = bv.rows[r][c];
+                    int64_t len = v.lengths[row];
+                    if (len >= begin_len && len <= end_len) {
+                        cand_rows.push_back(row);
+                        cand_bins.push_back(r);
+                        cand_slots.push_back(c);
+                    }
+                }
+                r++;
+                c = 0;
+            }
+            int64_t nc = (int64_t)cand_rows.size();
+            if (nc == 0) {
+                is_min = true;
+            } else {
+                prob.resize(nc);
+                dist.resize(nc);
+                bool hit = (last == cache_center);
+                if (hit) {
+                    for (int64_t i = 0; i < nc; i++)
+                        if (cache_stamp[cand_rows[i]] != cache_epoch) {
+                            hit = false;
+                            break;
+                        }
+                }
+                if (hit) {
+                    for (int64_t i = 0; i < nc; i++) {
+                        prob[i] = cache_prob[cand_rows[i]];
+                        dist[i] = cache_dist[cand_rows[i]];
+                    }
+                } else {
+                    mc2::score_pairs(v, m, plan, cand_rows.data(), &last,
+                                     /*b_stride=*/0, nc, prob.data(),
+                                     dist.data());
+                    pairs += nc;
+                    cache_center = last;
+                    cache_epoch++;
+                    for (int64_t i = 0; i < nc; i++) {
+                        cache_stamp[cand_rows[i]] = cache_epoch;
+                        cache_prob[cand_rows[i]] = prob[i];
+                        cache_dist[cand_rows[i]] = dist[i];
+                    }
+                }
+                windows++;
+                bool any_pos = false;
+                int64_t best_i = 0;
+                for (int64_t i = 0; i < nc; i++) {
+                    if (dist[i] > dist[best_i]) best_i = i;
+                    if (std::floor(prob[i] + 0.5) > 0) {
+                        any_pos = true;
+                        bv.marks[cand_bins[i]][cand_slots[i]] = 1;
+                    }
+                }
+                is_min = !any_pos;
+                best_row = cand_rows[best_i];
+                best_bin = cand_bins[best_i];
+                best_slot = cand_slots[best_i];
+            }
+        }
+
+        if (is_min) {
+            out_centers[n_clusters] = last;
+            for (int64_t mrow : members) out_members[member_pos++] = mrow;
+            out_member_offsets[n_clusters + 1] = member_pos;
+            n_clusters++;
+            int64_t nxt;
+            if (best_row < 0) {
+                nxt = bv.pop();
+            } else {
+                bv.erase(best_bin, best_slot);
+                nxt = best_row;
+            }
+            if (nxt < 0) {
+                members.clear();
+                return dump_state(-1);  // pool empty: clustering complete
+            }
+            last = nxt;
+            members.clear();
+            members.push_back(last);
+            std::fill(member_sum.begin(), member_sum.end(), 0.0);
+            summed_upto = 0;
+        } else {
+            bv.remove_available(front, back, &members);
+            fold_members();
+            last = mc2::closest_to_mean_presummed(
+                v, members, member_sum.data(), &top_buf,
+                /*allow_parallel=*/true);
+        }
+    }
+    return dump_state(last);
+}
+
 }  // namespace
 
 extern "C" {
@@ -474,6 +672,52 @@ int accumulate_run(
                                 n_bins, progress_cb, out_centers,            \
                                 out_member_offsets, out_members,             \
                                 out_n_clusters, out_windows, out_pairs);     \
+    }
+    switch (elem_width) {
+        case 1: RUN_BODY(uint8_t);
+        case 2: RUN_BODY(uint16_t);
+        case 4: RUN_BODY(uint32_t);
+        default: return -1;
+    }
+#undef RUN_BODY
+}
+
+// Resumable accumulate (engine._resolve_steps semantics, see
+// accumulate_resume_t).  Outputs caller-allocated with capacity n
+// (centers, member_offsets[n+1], members, cur, bin_rows,
+// bin_offsets[n_bins+1]).
+int accumulate_resume(
+    const void* counts, int32_t elem_width, const int64_t* mags,
+    const int64_t* lengths, const double* stddevs, const double* self_dots,
+    int64_t dim, int64_t n,
+    const int32_t* single_ids, const double* mins, const double* maxs,
+    const uint8_t* is_sim, int32_t n_singles,
+    const int32_t* combo_kinds, const int32_t* combo_idx0,
+    const int32_t* combo_idx1, int32_t n_combos,
+    const double* weights, double bias,
+    double sim,
+    const int64_t* bin_rows, const int64_t* bin_offsets,
+    const int64_t* bounds, int64_t n_bins,
+    const int64_t* cur_members, int64_t n_cur, int64_t last,
+    int32_t pending_mean, int64_t max_steps,
+    int64_t* out_centers, int64_t* out_member_offsets, int64_t* out_members,
+    int64_t* out_n_clusters,
+    int64_t* out_cur, int64_t* out_n_cur, int64_t* out_last,
+    int64_t* out_bin_rows, int64_t* out_bin_offsets,
+    int64_t* out_windows, int64_t* out_pairs) {
+    ModelSpec m{single_ids, mins,       maxs,    is_sim, n_singles,
+                combo_kinds, combo_idx0, combo_idx1, n_combos, weights,
+                bias,        /*raw_sum=*/0};
+#define RUN_BODY(T)                                                          \
+    {                                                                        \
+        PointsView<T> v{(const T*)counts, mags, lengths, stddevs, self_dots, \
+                        dim};                                                \
+        return accumulate_resume_t(                                          \
+            v, m, n, sim, bin_rows, bin_offsets, bounds, n_bins,             \
+            cur_members, n_cur, last, pending_mean, max_steps, out_centers,  \
+            out_member_offsets, out_members, out_n_clusters, out_cur,        \
+            out_n_cur, out_last, out_bin_rows, out_bin_offsets, out_windows, \
+            out_pairs);                                                      \
     }
     switch (elem_width) {
         case 1: RUN_BODY(uint8_t);
