@@ -171,12 +171,21 @@ def parse_phase_breakdown(text: str, ts: dict) -> dict:
         out["bringup_accumulate_compile_s"] = float(m.group(2))
         out["bringup_phase_compile_s"] = float(m.group(3))
         out["bringup_upload_force_s"] = float(m.group(4))
-    m = re.search(r"device accumulate: prepare ([0-9.]+)s, lower ([0-9.]+)s, "
-                  r"compile ([0-9.]+)s, execute ([0-9.]+)s, (\d+) steps",
-                  text)
+    m = re.search(r"device combined ready: upload-dispatch ([0-9.]+)s, "
+                  r"trace\+lower ([0-9.]+)s, compile ([0-9.]+)s, "
+                  r"arg-force ([0-9.]+)s", text)
     if m:
-        out["accumulate_execute_s"] = float(m.group(4))
-        out["accumulate_steps"] = int(m.group(5))
+        out["bringup_lower_s"] = float(m.group(2))
+        out["bringup_compile_s"] = float(m.group(3))
+        out["bringup_upload_force_s"] = float(m.group(4))
+    ex = [float(x) for x in
+          re.findall(r"device combined: execute ([0-9.]+)s", text)]
+    if ex:
+        out["combined_execute_s"] = round(sum(ex), 3)
+        out["combined_dispatches"] = len(ex)
+    m = re.search(r"device accumulate: (\d+) steps, (\d+) windows", text)
+    if m:
+        out["accumulate_steps"] = int(m.group(1))
     m = re.search(r"device update phase: ([0-9.]+)s, (\d+) iterations, "
                   r"(\d+) pairs", text)
     if m:

@@ -62,6 +62,17 @@ DD_DERIVABLE = frozenset({
     F.FEAT_LENGTHD,
 })
 
+# blockwise extraslow singles (--feat extraslow, Feature.cpp:378-457):
+# per-pair values computable from the two count blocks + magnitudes in f32
+# with propagated ABSOLUTE error bounds, like the log pair below.  MISMATCH
+# and JACCARD are integer-exact (err 0); the rest follow the nonneg-term or
+# exact-integer-log-ratio recipes (see block_singles_stats).
+BLOCK_DERIVABLE = frozenset({
+    F.FEAT_MISMATCH, F.FEAT_JACCARD, F.FEAT_CANBERRA, F.FEAT_KULCZYNSKI1,
+    F.FEAT_CHI_SQUARED, F.FEAT_HARMONIC_MEAN, F.FEAT_SQCHORD,
+    F.FEAT_HELLINGER, F.FEAT_K_DIV, F.FEAT_KL_COND,
+})
+
 # log-divergence singles (--feat slow adds these, CRunner.cpp:366-378):
 # computed per pair from the count blocks as f32 with propagated ABSOLUTE
 # error bounds — the probability ratios are exact integer ratios
@@ -189,6 +200,113 @@ def log_div_stats(jnp, A, B, magA, magB, need_jd: bool, need_js: bool):
     return jd, js, jd_err, js_err
 
 
+def block_singles_stats(jnp, A, B, magA, magB, d: int, flags):
+    """{flag: (value_f32 [W], abs_err_f32 [W])} for BLOCK_DERIVABLE singles
+    (host oracles: features/host.py, reference Feature.cpp:378-457).
+
+    A, B int32 count blocks [W, D]; magA, magB int32 pseudo-magnitudes.
+    Exactness recipes (the margin machinery relies on the err bounds):
+      - integer-exact singles (mismatch Feature.cpp:1941, jaccard :1681):
+        counts < 2^24 are exact in f32, err 0;
+      - nonneg-term sums (canberra :1970, kulczynski1 :2001, chi2 :1142,
+        harmonic :1202): integer numerators are exact (via int64), one f32
+        division rounds per term, terms never cancel — err <= eps * value
+        with a 4-5x tree-summation safety factor;
+      - sqrt/cancellation sums (sqchord :736, hellinger :1082): per-term
+        error scales with companion magnitude sums computed alongside;
+      - exact-integer log ratios (k_div :1281, kl_cond :1315): the log
+        argument is a ratio of exact int64 products, so each log sees a
+        once-rounded value (same recipe as log_div_stats), bounded via
+        companion |term| sums.
+    """
+    out = {}
+    f32 = lambda v: v.astype(jnp.float32)
+    i64 = lambda v: v.astype(jnp.int64)
+    need = set(flags)
+    W = A.shape[0]
+    zero = jnp.zeros((W,), jnp.float32)
+    e_sum = np.float32(4e-6)        # per-term + tree-summation coefficient
+    e_one = np.float32(6e-8)        # one f32 rounding
+    if F.FEAT_MISMATCH in need:
+        v = f32((A != B).sum(axis=1, dtype=jnp.int32))
+        out[F.FEAT_MISMATCH] = (v, zero)
+    if F.FEAT_JACCARD in need:
+        hit = ((A == B) & (A > 1)).sum(axis=1, dtype=jnp.int32)
+        # 1/d is a power of two: the scale is exact in f32
+        out[F.FEAT_JACCARD] = (f32(hit) * np.float32(1.0 / d), zero)
+    if {F.FEAT_CANBERRA, F.FEAT_KULCZYNSKI1, F.FEAT_CHI_SQUARED,
+            F.FEAT_HARMONIC_MEAN, F.FEAT_SQCHORD} & need:
+        sAB = f32(A + B)
+        if F.FEAT_CANBERRA in need:
+            v = (f32(jnp.abs(A - B)) / sAB).sum(axis=1)
+            out[F.FEAT_CANBERRA] = (v, e_sum * v + np.float32(1e-7))
+        if F.FEAT_KULCZYNSKI1 in need:
+            v = (f32(jnp.abs(A - B)) / f32(jnp.minimum(A, B))).sum(axis=1)
+            out[F.FEAT_KULCZYNSKI1] = (v, e_sum * v + np.float32(1e-7))
+        if F.FEAT_CHI_SQUARED in need:
+            dd2 = i64(A - B)
+            v = (f32(dd2 * dd2) / sAB).sum(axis=1)
+            out[F.FEAT_CHI_SQUARED] = (v, e_sum * v + np.float32(1e-7))
+        if F.FEAT_HARMONIC_MEAN in need:
+            v = 2.0 * (f32(i64(A) * i64(B)) / sAB).sum(axis=1)
+            out[F.FEAT_HARMONIC_MEAN] = (v, e_sum * v + np.float32(1e-7))
+        if F.FEAT_SQCHORD in need:
+            rt = jnp.sqrt(f32(i64(A) * i64(B)))
+            v = (sAB - 2.0 * rt).sum(axis=1)
+            # cancellation: per-term error ~ 2 eps sqrt(AB) + eps (A+B)
+            comp = rt.sum(axis=1)
+            err = np.float32(4.0) * e_one * comp + e_sum * jnp.abs(v) \
+                + np.float32(1e-7)
+            out[F.FEAT_SQCHORD] = (v, err)
+    if F.FEAT_HELLINGER in need:
+        # sqrt(2 * sum (sqrt(A d / magA) - sqrt(B d / magB))^2); A*d exact
+        # in int64, one rounding per division and sqrt
+        xa = jnp.sqrt(f32(i64(A) * np.int64(d)) / f32(magA)[:, None])
+        xb = jnp.sqrt(f32(i64(B) * np.int64(d)) / f32(magB)[:, None])
+        diff = xa - xb
+        S = (diff * diff).sum(axis=1)
+        compS = (jnp.abs(diff) * (xa + xb)).sum(axis=1)
+        errS = np.float32(6.0) * e_one * compS + e_sum * S
+        v = jnp.sqrt(2.0 * S)
+        vf = jnp.maximum(v, np.float32(1e-3))
+        out[F.FEAT_HELLINGER] = (v, errS / vf + e_one * v
+                                 + np.float32(1e-7))
+    if F.FEAT_K_DIV in need:
+        # sum (A/magA) log(2 A magB / (A magB + B magA)): exact int64
+        # numerators/denominators, so the log argument rounds once
+        num = f32(np.int64(2) * i64(A) * i64(magB)[:, None])
+        den = f32(i64(A) * i64(magB)[:, None] + i64(B) * i64(magA)[:, None])
+        lg = jnp.log(num / den)
+        pp = f32(A) / f32(magA)[:, None]
+        term = pp * lg
+        v = term.sum(axis=1)
+        # sum pp == 1 exactly, hence the constant first bound
+        err = np.float32(1e-6) + np.float32(5e-6) * jnp.abs(term).sum(axis=1)
+        out[F.FEAT_K_DIV] = (v, err)
+    if F.FEAT_KL_COND in need:
+        a4 = 4
+        gp = A.reshape(W, d // a4, a4)
+        gq = B.reshape(W, d // a4, a4)
+        sp = gp.sum(axis=2, dtype=jnp.int32)
+        sq = gq.sum(axis=2, dtype=jnp.int32)
+        # log(cp/cq) = log(gp sq / (gq sp)): exact int64 products
+        lg = jnp.log(f32(i64(gp) * i64(sq)[:, :, None])
+                     / f32(i64(gq) * i64(sp)[:, :, None]))
+        cp = f32(gp) / f32(sp)[:, :, None]
+        cq = f32(gq) / f32(sq)[:, :, None]
+        inner_p = (cp * lg).sum(axis=2)
+        inner_q = (-cq * lg).sum(axis=2)
+        outer_p = (f32(sp) * inner_p).sum(axis=1)
+        outer_q = (f32(sq) * inner_q).sum(axis=1)
+        v = (outer_p / f32(magA) + outer_q / f32(magB)) * np.float32(0.5)
+        abs_p = (f32(sp) * jnp.abs(cp * lg).sum(axis=2)).sum(axis=1)
+        abs_q = (f32(sq) * jnp.abs(cq * lg).sum(axis=2)).sum(axis=1)
+        err = np.float32(1e-6) + np.float32(5e-6) * (
+            abs_p / f32(magA) + abs_q / f32(magB))
+        out[F.FEAT_KL_COND] = (v, err)
+    return out
+
+
 def emd_rowsum(jax, jnp, diff_i32, d: int, maxc: int = 1 << 30):
     """sum_j |prefix_j(diff)| per row as int64, via blocked triangular
     matmuls on the MXU (the same decomposition as ops/pallas_stats.py's
@@ -264,13 +382,18 @@ class _ModelPack(NamedTuple):
     combos: tuple              # ((kind, idxs), ...)
     weights: tuple             # host f64, [0] = intercept
     pos_edge: float            # f64 GLM-sum edge for round(prob) > 0
-    has_log: bool              # any LOG_DERIVABLE single selected
+    has_log: bool              # any full-vector (log/blockwise) single
+    blk: tuple                 # BLOCK_DERIVABLE singles selected
 
 
 def _pack_model(model: CompiledModel) -> _ModelPack:
     singles = tuple(model.singles)
-    if not set(singles) <= (DD_DERIVABLE | LOG_DERIVABLE):
-        raise DeviceLoopUnsupported(f"singles {singles} not dd-derivable")
+    allowed = DD_DERIVABLE | LOG_DERIVABLE | BLOCK_DERIVABLE
+    if not set(singles) <= allowed:
+        bad = sorted(F.FEAT_NAMES.get(s, hex(s))
+                     for s in set(singles) - allowed)
+        raise DeviceLoopUnsupported(
+            f"features {bad} have no device implementation")
     edge = TH.positive_edge(model.bias)
     if not math.isfinite(edge):
         # decision is constant in s; encode as a huge finite edge
@@ -283,7 +406,10 @@ def _pack_model(model: CompiledModel) -> _ModelPack:
         combos=tuple((kind, tuple(idxs)) for kind, idxs in model.combos),
         weights=tuple(float(w) for w in model.weights),
         pos_edge=float(edge),
-        has_log=bool(set(singles) & LOG_DERIVABLE),
+        # blockwise singles (log pair + BLOCK_DERIVABLE) depend on the FULL
+        # count vectors, so exact-tie certification needs row identity
+        has_log=bool(set(singles) & (LOG_DERIVABLE | BLOCK_DERIVABLE)),
+        blk=tuple(s for s in singles if s in BLOCK_DERIVABLE),
     )
 
 
@@ -299,24 +425,33 @@ def _index_of_vec(bounds: np.ndarray, x: np.ndarray) -> Tuple[np.ndarray, np.nda
     return low.astype(np.int32), high.astype(np.int32)
 
 
-def envelope_check(ps, model_singles_checked=True):
-    """Raise DeviceLoopUnsupported outside the exact-arithmetic envelope
-    shared by the device accumulate/update programs."""
-    maxc = int(ps.counts.max()) if ps.n else 0
-    maxmag = int(ps.mags.max()) if ps.n else 0
+def envelope_check_vals(maxc: int, maxmag: int, maxlen: int,
+                        self_dots: np.ndarray) -> None:
+    """The exact-arithmetic envelope shared by the device programs,
+    checkable from metadata alone (multihost stores never materialize the
+    full count matrix on one host)."""
     if maxmag >= 2**24:
         raise DeviceLoopUnsupported("pseudo-magnitude >= 2^24")
     if maxc * maxmag >= 2**31:
         raise DeviceLoopUnsupported("dot product >= 2^31")
     if maxc * 4 * _WC >= 2**31:  # widest scan chunk (large-pool setting)
         raise DeviceLoopUnsupported("chunk column sums >= 2^31")
-    if int(ps.lengths.max()) >= 2**31:
+    if maxlen >= 2**31:
         raise DeviceLoopUnsupported("length >= 2^31")
+    if len(self_dots) and int(self_dots.max()) >= 2**31:
+        raise DeviceLoopUnsupported("self dot >= 2^31")
+
+
+def envelope_check(ps, model_singles_checked=True):
+    """Raise DeviceLoopUnsupported outside the exact-arithmetic envelope
+    shared by the device accumulate/update programs."""
+    maxc = int(ps.counts.max()) if ps.n else 0
+    maxmag = int(ps.mags.max()) if ps.n else 0
     self_dots = np.einsum(
         "ij,ij->i", ps.counts.astype(np.int64), ps.counts.astype(np.int64)
     )
-    if self_dots.max() >= 2**31:
-        raise DeviceLoopUnsupported("self dot >= 2^31")
+    envelope_check_vals(maxc, maxmag, int(ps.lengths.max()) if ps.n else 0,
+                        self_dots)
     return self_dots
 
 
@@ -442,6 +577,10 @@ def derive_singles_dd(pack, d, jnp, stats, a, b):
             elif flag == F.FEAT_JENSEN_SHANNON:
                 out.append((stats["js"], jnp.zeros_like(stats["js"])))
                 errs.append(stats["js_err"])
+            elif flag in BLOCK_DERIVABLE:
+                v, e = stats["blk"][flag]
+                out.append((v, jnp.zeros_like(v)))
+                errs.append(e)
             elif flag == F.FEAT_LENGTHD:
                 la, lb = i64(a["lens"]), i64(b["lens"])
                 out.append(dd_i(jnp.abs(la - lb)))
@@ -544,7 +683,8 @@ class DeviceAccumulator:
     def __init__(self, ps: PointSet, model: CompiledModel, sim: float,
                  margin: Optional[float] = None,
                  tie_margin: Optional[float] = None,
-                 shared_counts=None):
+                 shared_counts=None, self_dots=None, maxc=None,
+                 row_fetch=None):
         self.ps = ps
         self.model = model
         self.sim = float(sim)
@@ -556,8 +696,21 @@ class DeviceAccumulator:
         # array through the tunnel (upload bandwidth fluctuates wildly;
         # a second counts upload was the execute-time variance)
         self.shared_counts = shared_counts
-
-        self._self_dots = envelope_check(ps)
+        # multihost stores hold no host count matrix: metadata envelope
+        # values come precomputed and single rows come through `row_fetch`
+        self._row_fetch = row_fetch
+        if ps.counts is not None:
+            self._self_dots = envelope_check(ps)
+            self._maxc = int(ps.counts.max()) if ps.n else 0
+        else:
+            if shared_counts is None or self_dots is None or maxc is None:
+                raise DeviceLoopUnsupported(
+                    "countless point set needs shared_counts+self_dots+maxc")
+            self._self_dots = np.asarray(self_dots)
+            self._maxc = int(maxc)
+            envelope_check_vals(
+                self._maxc, int(ps.mags.max()) if ps.n else 0,
+                int(ps.lengths.max()) if ps.n else 0, self._self_dots)
         self._d = ps.dim
         # scan chunk rows: window flat-spans grow with n (they cover dead
         # rows too), so large pools use wider chunks — fewer inner loop
@@ -630,7 +783,7 @@ class DeviceAccumulator:
             "selfdot": padded(self._self_dots[order], 0, np.int32),
             "bin_start": bin_start_pad,
             "n": np.int32(n),
-            "maxc": np.int64(int(ps.counts.max()) if ps.n else 0),
+            "maxc": np.int64(self._maxc),
         }
         sh, sl = DD.split_f64(ps.stddevs[order])
         dev["std_h"] = padded(sh, 1.0, np.float32)
@@ -649,7 +802,7 @@ class DeviceAccumulator:
         if n:
             alive0[0] = False          # first pop seeds cluster 0
             assign0[0] = 0
-            msum0[:] = self.ps.counts[order[0]].astype(np.int64)
+            msum0[:] = self._rows_host(order[:1])[0].astype(np.int64)
         return {
             "alive0": alive0, "assign0": assign0, "astep0": astep0,
             "centers0": np.zeros(npad, np.int32),
@@ -699,7 +852,7 @@ class DeviceAccumulator:
         cflat = pos[cur]
         assign0[cflat] = cid0
         astep0[cflat] = np.arange(len(cur), dtype=np.int32)
-        msum0 = self.ps.counts[cur].astype(np.int64).sum(axis=0)
+        msum0 = self._rows_host(cur).astype(np.int64).sum(axis=0)
         big = self._patch_big(alive0, assign0, astep0, centers0, npad)
         return {
             **big,
@@ -755,6 +908,13 @@ class DeviceAccumulator:
         return {"alive0": a_d, "assign0": s_d, "astep0": t_d,
                 "centers0": c_d}
 
+    def _rows_host(self, rows: np.ndarray) -> np.ndarray:
+        """Histogram rows on the host (local matrix, or fetched from the
+        sharded global matrix on multihost runs)."""
+        if self.ps.counts is not None:
+            return self.ps.counts[rows]
+        return self._row_fetch(np.asarray(rows))
+
     # -- dd epilogue ------------------------------------------------------------
 
     def _derive_singles_dd(self, jnp, stats, a, b):
@@ -788,7 +948,7 @@ class DeviceAccumulator:
         edge_scale = np.float32(max(abs(self.pack.pos_edge), 1.0))
         need_summin, need_dot, need_emd = stat_needs(self.pack.singles)
         need_jd, need_js = log_needs(self.pack.singles)
-        MAXC = int(self.ps.counts.max()) if self.ps.n else 0
+        MAXC = self._maxc
         NONE = np.int32(npad)
 
         C = None  # bound to the traced argument dict by program()
@@ -901,6 +1061,10 @@ class DeviceAccumulator:
                         jnp, blk, jnp.broadcast_to(cc[None, :], (WC, D)),
                         b_side["mags"], a_bc["mags"], need_jd, need_js)
                     stats.update(jd=jd, js=js, jd_err=jde, js_err=jse)
+                if self.pack.blk:
+                    stats["blk"] = block_singles_stats(
+                        jnp, blk, jnp.broadcast_to(cc[None, :], (WC, D)),
+                        b_side["mags"], a_bc["mags"], D, self.pack.blk)
                 singles = self._derive_singles_dd(jnp, stats, b_side, a_bc)
                 s_dd, dist_dd, s_err, dist_err = self._epilogue_dd(jnp, singles)
 

@@ -52,6 +52,7 @@ from .device_loop import (
     derive_singles_dd,
     emd_rowsum,
     epilogue_dd,
+    block_singles_stats,
     log_div_stats,
     log_needs,
     stat_needs,
@@ -81,7 +82,8 @@ class DevicePhaseUpdater:
         self.margin, self.tie_margin = resolve_margins(margin, tie_margin)
         self.pack = _pack_model(model)
         self.d = ps.dim
-        self.maxc = int(ps.counts.max()) if ps.n else 0
+        self.maxc = (int(ps.counts.max()) if ps.counts is not None and ps.n
+                     else int(getattr(store, "maxc", 0)))
         self.NB = store.nb
         # slot arrays and segment-sum accumulators are sized by a CLUSTER
         # bucket CB (<= NB): clusters are far fewer than rows (10k -> 788,
@@ -158,6 +160,10 @@ class DevicePhaseUpdater:
             jd, js, jde, jse = log_div_stats(jnp, A, B, S["mags"][a_rows],
                                              S["mags"][b_rows], njd, njs)
             stats.update(jd=jd, js=js, jd_err=jde, js_err=jse)
+        if self.pack.blk:
+            stats["blk"] = block_singles_stats(
+                jnp, A, B, S["mags"][a_rows], S["mags"][b_rows], self.d,
+                self.pack.blk)
         side = lambda r: {
             "mags": S["mags"][r], "selfdot": S["selfdot"][r],
             "std": (S["std_h"][r], S["std_l"][r]), "lens": S["lens"][r],

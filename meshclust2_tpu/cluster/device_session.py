@@ -85,6 +85,63 @@ class DeviceStore:
             np.asarray(a.ravel()[-1])
         return time.time() - t0
 
+    @classmethod
+    def from_global(cls, meta, sim: float, mesh, axis: str, counts_global,
+                    self_dots: np.ndarray, maxc: int, put_row, put_rep):
+        """A store over a process-global mesh: counts row-sharded
+        P(axis, None) from the pre-assembled global matrix, per-row arrays
+        row-sharded P(axis) — the exact annotations __graft_entry__'s
+        dryrun_multichip section 6 validates.  `put_row(arr)` / `put_rep`
+        place full host arrays as row-sharded / replicated global arrays
+        (each process passes the same full value)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        st = object.__new__(cls)
+        st.ps = meta
+        st.nb = _shape_bucket(max(meta.n, 1))
+        st.d = meta.dim
+        st.maxc = int(maxc)
+        from .device_loop import envelope_check_vals
+
+        envelope_check_vals(st.maxc, int(meta.mags.max()) if meta.n else 0,
+                            int(meta.lengths.max()) if meta.n else 0,
+                            np.asarray(self_dots))
+        nb, d = st.nb, st.d
+
+        # pad the global [npadG, d] matrix up to the store bucket on device
+        out_sh = NamedSharding(mesh, P(axis, None))
+
+        @jax.jit
+        def pad_counts(c):
+            out = jnp.zeros((nb, d), c.dtype)
+            out = jax.lax.dynamic_update_slice(
+                out, c, (np.int32(0), np.int32(0)))
+            return jax.lax.with_sharding_constraint(out, out_sh)
+
+        st.counts = pad_counts(counts_global)
+
+        def rowpad(a, dtype):
+            out = np.zeros((nb,) + np.asarray(a).shape[1:], dtype=dtype)
+            out[: meta.n] = a
+            return put_row(out)
+
+        from ..ops import ddf32 as DD
+
+        st.mags = rowpad(meta.mags, np.int32)
+        st.selfdot = rowpad(self_dots, np.int32)
+        st.lens = rowpad(meta.lengths, np.int32)
+        sh, sl = DD.split_f64(np.asarray(meta.stddevs, dtype=np.float64))
+        st.std_h = rowpad(sh, np.float32)
+        st.std_l = rowpad(sl, np.float32)
+        L = np.asarray(meta.lengths, dtype=np.float64)
+        st.blen = rowpad((L * sim).astype(np.int64), np.int32)
+        st.elen = rowpad((L / sim).astype(np.int64), np.int32)
+        st._all = (st.counts, st.mags, st.selfdot, st.lens,
+                   st.std_h, st.std_l, st.blen, st.elen)
+        return st
+
     @property
     def updater_arrs(self):
         """The positional array pack device_update kernels take."""
@@ -107,14 +164,24 @@ class DeviceCombined:
     relaunches THIS program; a phase abort carries the phase state out for
     the per-iteration host continuation."""
 
-    def __init__(self, acc: DeviceAccumulator, phase):
+    def __init__(self, acc: DeviceAccumulator, phase, put=None,
+                 out_sharding=None, compile_patch: bool = True):
         self.acc = acc
         self.phase = phase
+        # multihost hooks: `put` places host values as global (replicated)
+        # arrays over the process mesh; `out_sharding` forces replicated
+        # outputs so every process can fetch them; the resume-patch path is
+        # disabled there (its device buffers would need the same treatment
+        # for marginal gain)
+        self._put = put
+        self._out_sharding = out_sharding
+        self._compile_patch = compile_patch
 
     def ensure_ready(self, bv: BVec) -> None:
         import jax
         import jax.numpy as jnp
 
+        put = self._put or jnp.asarray
         acc, phase = self.acc, self.phase
         host, dev = acc._prepare(bv)
         if "counts_nat" not in dev:
@@ -181,9 +248,16 @@ class DeviceCombined:
 
         S = phase._store_arrays()
         t0 = time.time()
-        Cdev = {k: jnp.asarray(v) for k, v in dev.items()}
+        Cdev = {k: (v if hasattr(v, "devices") else put(v))
+                for k, v in dev.items()}
         t1 = time.time()
-        lowered = jax.jit(combined).lower(Cdev, S)
+        if self._out_sharding is not None:
+            sh = self._out_sharding
+            jitted = jax.jit(combined,
+                             out_shardings=(sh, sh, sh, sh, sh))
+        else:
+            jitted = jax.jit(combined)
+        lowered = jitted.lower(Cdev, S)
         t2 = time.time()
         compiled = lowered.compile()
         t3 = time.time()
@@ -199,7 +273,9 @@ class DeviceCombined:
                 x = v.ravel()[-1] if getattr(v, "ndim", 0) else v
                 tot = tot + x.astype(jnp.int32)
             return tot
-        np.asarray(jax.jit(touch)(Cdev, S))
+        touch_jit = (jax.jit(touch, out_shardings=self._out_sharding)
+                     if self._out_sharding is not None else jax.jit(touch))
+        np.asarray(touch_jit(Cdev, S))
         t4 = time.time()
         if os.environ.get("MC2_DEVICE_PROF"):
             print(f"device combined ready: upload-dispatch {t1 - t0:.2f}s, "
@@ -208,7 +284,10 @@ class DeviceCombined:
         self._ready = (host, Cdev, compiled)
         # acc.make_carry/_ready_matches read acc._ready's host/Cdev
         acc._ready = (host, Cdev, None)
-        acc._compile_patch_apply(npad)
+        if self._compile_patch:
+            acc._compile_patch_apply(npad)
+        else:
+            acc._patch_apply = None
 
     def run(self, bv: BVec, carry: Optional[dict] = None):
         """(clusters_raw, resume_state, phase_result): phase_result is a
@@ -219,10 +298,12 @@ class DeviceCombined:
         host, Cdev, compiled = self._ready
         acc = self.acc
         profile = bool(os.environ.get("MC2_DEVICE_PROF"))
+        put = self._put or jnp.asarray
         t0 = time.time()
         if carry is not None:
             Cdev = dict(Cdev)
-            Cdev.update({k: jnp.asarray(v) for k, v in carry.items()})
+            Cdev.update({k: (v if hasattr(v, "devices") else put(v))
+                         for k, v in carry.items()})
         res = compiled(Cdev, self.phase._store_arrays())
         full = np.asarray(res[0])       # the ONE fetch round trip
         t1 = time.time()

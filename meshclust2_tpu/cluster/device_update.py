@@ -44,6 +44,7 @@ from .device_loop import (
     emd_rowsum,
     envelope_check,
     epilogue_dd,
+    block_singles_stats,
     log_div_stats,
     log_needs,
     stat_needs,
@@ -178,6 +179,9 @@ class DeviceUpdater:
             jd, js, jde, jse = log_div_stats(jnp, A, B, mags[a_idx],
                                              mags[b_idx], njd, njs)
             stats.update(jd=jd, js=js, jd_err=jde, js_err=jse)
+        if self.pack.blk:
+            stats["blk"] = block_singles_stats(
+                jnp, A, B, mags[a_idx], mags[b_idx], self.d, self.pack.blk)
         singles = derive_singles_dd(
             self.pack, self.d, jnp, stats,
             self._arr_side(mags, selfdot, std_h, std_l, lens, a_idx),

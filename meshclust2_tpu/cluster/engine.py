@@ -462,7 +462,8 @@ class MeanShiftEngine:
         saved_scorer = self.scorer
         from ..native import NativeScorer
 
-        fast = NativeScorer.create(self.ps, self.model)
+        fast = None if self.ps.counts is None \
+            else NativeScorer.create(self.ps, self.model)
         self.scorer = fast or self._host_oracle()
         try:
             self._host_accumulate_loop(
@@ -527,12 +528,15 @@ class MeanShiftEngine:
             return None
         if getattr(self, "_resolve_native_failed", False):
             return None
+        if self.row_fetcher is not None or self.ps.counts is None:
+            self._resolve_native_failed = True
+            return None
         sc = getattr(self, "_resolve_native_scorer", None)
         if sc is None:
             from ..native import NativeScorer
 
             sc = NativeScorer.create(self.ps, self.model)
-            if sc is None or self.row_fetcher is not None:
+            if sc is None:
                 self._resolve_native_failed = True
                 return None
             self._resolve_native_scorer = sc

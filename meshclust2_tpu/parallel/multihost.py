@@ -328,6 +328,21 @@ def build_global_points(files: List[str], k: int, datatype: str,
     mags = assemble(local.mags, np.int64)
     stds = assemble(local.stddevs, np.float64)
     ones = assemble(local.one_mers, np.uint64)
+    # per-row self-dots + global max count: the device-session store needs
+    # them and no process holds the full matrix (values < 2^31, f64-exact)
+    sdots = assemble(
+        np.einsum("ij,ij->i", local.counts.astype(np.int64),
+                  local.counts.astype(np.int64)).astype(np.float64),
+        np.int64)
+    maxc_l = np.array([int(local.counts.max()) if len(records) else 0],
+                      dtype=np.int64)
+    if num_processes > 1:
+        from jax.experimental import multihost_utils as mhu
+
+        maxc = int(np.asarray(
+            mhu.process_allgather(jnp.asarray(maxc_l))).max())
+    else:
+        maxc = int(maxc_l[0])
 
     # the global sort permutation, computed identically on every process
     from ..native import sort_perm, sort_perm_strings
@@ -380,6 +395,8 @@ def build_global_points(files: List[str], k: int, datatype: str,
         one_mers=ones[perm],
         dim=d,
     )
+    meta.self_dots = sdots[perm]
+    meta.maxc = maxc
 
     from jax.sharding import NamedSharding
 
@@ -427,9 +444,28 @@ def run_multihost(args) -> int:
         args.files, pred.k, pred.datatype, pid, nprocs, mesh)
     scorer = MultihostScorer(meta, model, mesh, gcounts, fetch)
     sim = pred.id_cutoff
+
+    # the fast path IS the distributed path: the same device-session
+    # combined program, GSPMD-sharded over the global mesh (VERDICT r4
+    # next-step 5).  MultihostScorer remains the replicated-decision
+    # fallback for aborts and for models outside the device envelope.
+    session = None
+    if not os.environ.get("MC2_NO_DEVICE_SESSION"):
+        try:
+            from .multihost_session import build_multihost_session
+
+            session = build_multihost_session(
+                meta, model, sim, mesh, gcounts, fetch,
+                meta.self_dots, meta.maxc, args.delta, args.iterations)
+            scorer.prefers_device_loop = True
+        except Exception as e:  # noqa: BLE001 - envelope/backend opaque
+            print(f"multihost device session unavailable ({e}); "
+                  "per-window mesh scoring", file=sys.stderr)
     engine = MeanShiftEngine(meta, model, sim, scorer=scorer,
-                             delta=args.delta, iterations=args.iterations)
+                             delta=args.delta, iterations=args.iterations,
+                             device_session=session)
     engine.row_fetcher = fetch
+    engine._host_oracle_cached = FetchOracle(meta, model, fetch)
     clusters = engine.run()
     if pid == 0:
         write_clstr(args.output, engine.to_output(clusters))

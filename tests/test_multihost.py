@@ -41,6 +41,7 @@ def _launch(nprocs, per_proc, weights, fasta, out, port):
             "MC2_NPROCS": str(nprocs),
             "MC2_PROC_ID": str(pid),
             "MC2_COORD": f"localhost:{port}",
+            "MC2_DEVICE_PROF": "1",
         })
         code = _WORKER.format(repo=_REPO, per_proc=per_proc,
                               weights=weights, fasta=fasta,
@@ -62,8 +63,14 @@ def test_multihost_2proc_matches_1proc(fixtures_dir, tmp_path):
     out1 = str(tmp_path / "mh1.clstr")
     out2 = str(tmp_path / "mh2.clstr")
     _launch(1, 8, weights, fasta, out1, port=19731)
-    _launch(2, 4, weights, fasta, out2, port=19732)
+    outs2 = _launch(2, 4, weights, fasta, out2, port=19732)
     assert open(out1).read() == open(out2).read()
+    # the multi-process run must go through the device-session combined
+    # program (GSPMD over the global mesh), not the per-window
+    # MultihostScorer dispatch (VERDICT r4 next-step 5)
+    for so, _se in outs2:
+        assert "device combined: execute" in so, \
+            "2-proc run did not use the device-session programs"
 
     # and the multihost output equals the standard single-process host path
     from meshclust2_tpu.cli import main
