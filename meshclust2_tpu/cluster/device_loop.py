@@ -117,6 +117,14 @@ _WC = 2048  # scan chunk rows (static shape inside the loop)
 _PATCH_P = 8192
 _PATCH_Q = 1024
 
+# fixed diff-FETCH shapes (the download mirror of the diff-patch upload):
+# on an abort-resume, the program also emits the rows whose state changed
+# SINCE THE CARRY IT WAS LAUNCHED FROM, so the host fetches ~300 KB instead
+# of the full multi-MB packed state (the 100k window was fetch-bound at
+# ~0.5-2 s per resume round trip).  Overflow falls back to the full fetch.
+_DIFF_P = 16384
+_DIFF_Q = 4096
+
 
 def _shape_bucket(x: int, floor: int = 1024) -> int:
     """Smallest of {2^a, 3*2^(a-1)} >= x (>= floor).  Padded program shapes
@@ -853,6 +861,12 @@ class DeviceAccumulator:
         assign0[cflat] = cid0
         astep0[cflat] = np.arange(len(cur), dtype=np.int32)
         msum0 = self._rows_host(cur).astype(np.int64).sum(axis=0)
+        # host mirror of the launch state: the program's diff-fetch output
+        # is relative to THIS state, so the next abort's full state is
+        # mirror + ~KBs of fetched diffs (DeviceCombined.run)
+        self._carry_pack = ((assign0.astype(np.int64) + 1) << 33) \
+            | (astep0.astype(np.int64) << 1) | alive0.astype(np.int64)
+        self._carry_centers = centers0.astype(np.int64).copy()
         big = self._patch_big(alive0, assign0, astep0, centers0, npad)
         return {
             **big,
@@ -897,7 +911,7 @@ class DeviceAccumulator:
 
         drop = np.int32(npad)
         a_d, s_d, t_d, c_d = apply(
-            prev[1], prev[2], prev[3], prev[4],
+            prev[0], prev[1], prev[2], prev[3],
             jnp.asarray(pad(idx, _PATCH_P, drop)),
             jnp.asarray(pad(alive0[idx], _PATCH_P, False)),
             jnp.asarray(pad(assign0[idx], _PATCH_P, 0)),
@@ -1448,7 +1462,29 @@ class DeviceAccumulator:
             row_pack = ((i64(st.assign) + 1) << 33) \
                 | (i64(st.astep) << 1) | i64(st.alive)
             packed = jnp.concatenate([scalars, row_pack, i64(st.centers)])
-            return (packed, st.alive, st.assign, st.astep, st.centers)
+            # diff vs the LAUNCH state (the resume carry): rows changed +
+            # centers appended, in fixed-size buffers -> a resume fetch is
+            # ~300 KB instead of the full packed state.  small layout:
+            #   [0:8] scalars  [8] diff count  [9] cid0
+            #   [10:10+P] changed row indices  [10+P:10+2P] their row_pack
+            #   [10+2P:10+2P+Q] centers[cid0:cid0+Q]
+            pack0 = ((i64(C["assign0"]) + 1) << 33) \
+                | (i64(C["astep0"]) << 1) | i64(C["alive0"])
+            dmask = row_pack != pack0
+            dpc = min(_DIFF_P, npad)        # small pools: buffers <= npad
+            dqc = min(_DIFF_Q, npad)
+            didx = jnp.nonzero(dmask, size=dpc,
+                               fill_value=npad)[0].astype(jnp.int32)
+            dval = row_pack[jnp.minimum(didx, np.int32(npad - 1))]
+            cid0 = C["cid0"].astype(jnp.int32)
+            cstart = jnp.minimum(cid0, np.int32(max(npad - dqc, 0)))
+            cnew = jax.lax.dynamic_slice(st.centers, (cstart,), (dqc,))
+            small = jnp.concatenate([
+                scalars,
+                jnp.stack([dmask.sum(dtype=jnp.int64), i64(cstart)]),
+                i64(didx), dval, i64(cnew)])
+            return (packed, small, st.alive, st.assign, st.astep,
+                    st.centers)
 
         # the unjitted core is what DeviceCombined composes with the
         # update-phase program into one dispatch (device_session.py)
@@ -1557,12 +1593,14 @@ class DeviceAccumulator:
             print(f"device accumulate: prepare {t1 - t0:.2f}s, "
                   f"lower {t1b - t1:.2f}s, compile {t2 - t1b:.2f}s, "
                   f"execute {t3 - t2:.2f}s", flush=True)
-        return self.consume(packed[:8 + 2 * npad_out], res, host, npad_out)
+        return self.consume(packed[:8 + 2 * npad_out], res[2:6], host,
+                            npad_out)
 
-    def consume(self, packed: np.ndarray, res, host, npad_out: int):
+    def consume(self, packed: np.ndarray, state_res, host, npad_out: int):
         """(clusters_raw, None) or (None, ResumeState) from the program's
-        packed i64 output.  `res` is the raw output tuple whose device-side
-        state buffers (positions 1..4) seed the resume-patch path."""
+        packed i64 output.  `state_res` is the 4-tuple of device-side
+        (alive, assign, astep, centers) buffers seeding the resume-patch
+        path."""
         profile = bool(os.environ.get("MC2_DEVICE_PROF"))
         abort, cid, cur, iters, wins, pairs = packed[:6]
         row_pack = packed[8:8 + npad_out]
@@ -1573,7 +1611,7 @@ class DeviceAccumulator:
         # abort-state reuse: keep the output buffers ON DEVICE plus host
         # copies, so a resume only uploads the rows the host steps changed
         # (make_carry patch path) instead of the full multi-MB state
-        self._res_dev = res
+        self._res_dev = state_res
         self._res_host = {"alive": alive.copy(), "assign": assign.copy(),
                           "astep": astep.copy(), "centers": centers.copy()}
         self.last_steps = int(iters)

@@ -198,7 +198,7 @@ class DeviceCombined:
         self._npad = npad
 
         def combined(Cacc, S):
-            packed, alive, assign, astep, centers = core(Cacc)
+            packed, small, alive, assign, astep, centers = core(Cacc)
             abort = packed[0]
             cid = packed[1]
             n_s = Cacc["n"].astype(jnp.int32)
@@ -243,8 +243,8 @@ class DeviceCombined:
 
             can = (abort == 0) & (cid <= np.int64(CB)) & (cid > 0)
             ph = jax.lax.cond(can, do_phase, skip, None)
-            return (jnp.concatenate([packed, ph]), alive, assign, astep,
-                    centers)
+            return (jnp.concatenate([packed, ph]), small, ph, alive,
+                    assign, astep, centers)
 
         S = phase._store_arrays()
         t0 = time.time()
@@ -254,7 +254,7 @@ class DeviceCombined:
         if self._out_sharding is not None:
             sh = self._out_sharding
             jitted = jax.jit(combined,
-                             out_shardings=(sh, sh, sh, sh, sh))
+                             out_shardings=(sh,) * 7)
         else:
             jitted = jax.jit(combined)
         lowered = jitted.lower(Cdev, S)
@@ -305,18 +305,50 @@ class DeviceCombined:
             Cdev.update({k: (v if hasattr(v, "devices") else put(v))
                          for k, v in carry.items()})
         res = compiled(Cdev, self.phase._store_arrays())
-        full = np.asarray(res[0])       # the ONE fetch round trip
+        npad = self._npad
+        LACC = 8 + 2 * npad
+        from .device_loop import _DIFF_P, _DIFF_Q
+
+        DP = min(_DIFF_P, npad)
+        DQ = min(_DIFF_Q, npad)
+
+        ph_packed = None
+        if carry is None or getattr(acc, "_carry_pack", None) is None:
+            full = np.asarray(res[0])   # fresh run: ONE full fetch
+            packed_acc = full[:LACC]
+            ph_packed = full[LACC:]
+        else:
+            # resume: fetch only the diff vs the carry (~300 KB); the host
+            # mirror (make_carry) plus the diff reconstructs the full state
+            small = np.asarray(res[1])
+            cnt = int(small[8])
+            cstart = int(small[9])
+            cid = int(small[1])
+            ncen = cid - cstart
+            if cnt <= DP and 0 <= ncen <= DQ and cstart + DQ <= npad:
+                rp = acc._carry_pack.copy()
+                idx = small[10:10 + cnt]
+                rp[idx] = small[10 + DP:10 + DP + cnt]
+                centers_m = acc._carry_centers.copy()
+                centers_m[cstart:cstart + DQ] = \
+                    small[10 + 2 * DP:10 + 2 * DP + DQ]
+                packed_acc = np.concatenate([small[:8], rp, centers_m])
+            else:       # diff overflow: fall back to the full fetch
+                full = np.asarray(res[0])
+                packed_acc = full[:LACC]
+                ph_packed = full[LACC:]
         t1 = time.time()
         acc.last_exec_seconds = t1 - t0
         self.last_exec_seconds = t1 - t0
-        npad = self._npad
-        LACC = 8 + 2 * npad
         if profile:
             print(f"device combined: execute {t1 - t0:.2f}s", flush=True)
-        clusters, state = acc.consume(full[:LACC], res, host, npad)
+        clusters, state = acc.consume(packed_acc, res[3:7], host, npad)
         phase_res = None
         if state is None:
-            ph_packed = full[LACC:]
+            if ph_packed is None:
+                # completion after a diff-fetched resume: the phase section
+                # is its own output, fetched only now
+                ph_packed = np.asarray(res[2])
             if ph_packed[0] >= 0:
                 self.phase.last_exec_seconds = t1 - t0
                 phase_res = self.phase.unpack(ph_packed, self.phase.CB)

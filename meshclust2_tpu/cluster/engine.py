@@ -409,7 +409,11 @@ class MeanShiftEngine:
         # (forced-margin tests want the host fallback).
         max_resumes = int(os.environ.get("MC2_DEV_MAX_RESUMES", "32"))
         resumes = 0
-        host_steps = 16
+        # resolution now runs through the native driver (~1 ms/step), so
+        # resolving a batch of steps is far cheaper than an extra device
+        # relaunch (~0.3-0.5 s even with diff fetches): start at 128 and
+        # escalate when the device re-aborts quickly (tie-dense regions)
+        host_steps = 128
         import time as _time
 
         while (state is not None and resumes < max_resumes
@@ -436,10 +440,10 @@ class MeanShiftEngine:
             resumes += 1
             # backoff: aborts arriving in bursts (tie-dense regions) are
             # cheaper to clear with a batch of exact host steps (~1 ms
-            # each on the native scorer) than with one ~0.5-2 s device
+            # each on the native driver) than with one ~0.3-0.5 s device
             # round trip per step
-            host_steps = 16 if getattr(acc, "last_steps", 0) >= 256 \
-                else min(4 * host_steps, 1024)
+            host_steps = 128 if getattr(acc, "last_steps", 0) >= 512 \
+                else min(4 * host_steps, 4096)
             if raw is not None:
                 if resumes and os.environ.get("MC2_DEVICE_PROF"):
                     print(f"device accumulate: completed after {resumes} "

@@ -134,13 +134,14 @@ def test_end_to_end_tpu_clstr_parity():
 
 
 def test_tpu_clustering_meets_baseline_rate():
-    """VERDICT r3 weak #6: the real-chip job must assert PERFORMANCE, not
-    just parity — otherwise it passes while the bench regresses.  The
-    measured clustering window (read_in_points -> done, the bench metric)
-    on the med2000 fixture must beat the reference CPU's best measured
-    rate (2,325 seqs/s at 10k => 0.86 s for 2,000): allow 3x slack for
-    shared-tunnel jitter, i.e. < 2.6 s.  Bring-up (uploads/compiles) is
-    excluded by the stamp, as in the bench."""
+    """VERDICT r3 weak #6 / r4 next-step 9: the real-chip job must assert
+    PERFORMANCE, not just parity.  The measured clustering window
+    (read_in_points -> done, the bench metric) on the med2000 fixture runs
+    at 0.23-0.29 s with the round-5 combined single-dispatch program; the
+    1.0 s bound leaves ~4x slack for shared-tunnel jitter while still
+    failing on any regression to the round-4 two-dispatch shape (1.4-2.3 s
+    there).  Bring-up (uploads/compiles) is excluded by the stamp, as in
+    the bench."""
     out = _check(_run_on_tpu(textwrap.dedent("""
         import os, re, subprocess, sys
         env = dict(os.environ)
@@ -155,7 +156,7 @@ def test_tpu_clustering_meets_baseline_rate():
               re.finditer(r"timestamp (\\S+) ([0-9.eE+-]+)", r.stdout)}
         window = ts["done"] - ts["read_in_points"]
         print(f"WINDOW {window:.3f}")
-        assert window < 2.6, f"clustering window {window:.2f}s exceeds bound"
+        assert window < 1.0, f"clustering window {window:.2f}s exceeds bound"
         print("PERF_OK")
     """), timeout=1800))
     assert "PERF_OK" in out
