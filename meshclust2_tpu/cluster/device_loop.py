@@ -93,12 +93,18 @@ def DEFAULT_MARGIN() -> float:
 
 # tie margin for comparing two values produced by the SAME dd pipeline
 # (dist argmax, distance_d argmin): the identity-vs-direct formula
-# difference largely cancels between the two sides, so only the ~1e-13
-# relative dd error matters; 1e-10 keeps 3 orders of headroom.  (The first
-# real-chip med2000 run aborted at stage 2 because genuine ~1e-8-relative
-# distance_d gaps fell inside the old shared 1e-8 margin.)
+# difference largely cancels between the two sides, so only the ~5e-14
+# relative dd error matters, and the principled per-value bound
+# (8 * dist_err, propagated with 32x per-op safety) is ALSO applied — this
+# floor is belt-and-braces.  1e-12 keeps ~20x headroom over the measured
+# end-to-end error; the earlier 1e-10 floor tripped on genuinely distinct
+# candidates ~2000x above the dd precision (cause-2 aborts, every 100k/1M
+# tie-dense-tail abort in round 5), costing seconds of resume round trips
+# per run.  (History: the first real-chip med2000 run aborted at stage 2
+# because genuine ~1e-8-relative distance_d gaps fell inside the old
+# shared 1e-8 margin.)
 def DEFAULT_TIE_MARGIN() -> float:
-    return float(os.environ.get("MC2_DD_TIE_MARGIN", "1e-10"))
+    return float(os.environ.get("MC2_DD_TIE_MARGIN", "1e-12"))
 
 
 def resolve_margins(margin, tie_margin):
@@ -981,6 +987,8 @@ class DeviceAccumulator:
             env_hi: jnp.ndarray
             done: jnp.ndarray        # bool
             abort: jnp.ndarray       # int32 0/1/2
+            cause: jnp.ndarray       # int32 abort-cause bits (1 gate,
+                                     # 2 argmax tie, 4 cross-chunk tie)
             iters: jnp.ndarray       # int32 safety counter
             wins: jnp.ndarray        # int32 windows scanned (stats)
             pairs: jnp.ndarray       # int64 length-passed pairs scored
@@ -996,8 +1004,8 @@ class DeviceAccumulator:
                 "lens": C["lens"][p],
             }
 
-        def scan_window(st: "Carry", rank, gfront, gback, p_lo, p_hi,
-                        blen_c, elen_c):
+        def scan_window(st: "Carry", rank, crank, gfront, gback, p_lo,
+                        p_hi, blen_c, elen_c):
             """Chunked window scan: classifier + dist argmax + absorb prep."""
             cc = row_i32(st.cur)
             c_side = side_consts(st.cur)
@@ -1021,13 +1029,32 @@ class DeviceAccumulator:
                         np.int32(0), np.int32(0), np.int32(0),
                         np.float32(0), np.float32(0))
 
-            nchunks = jnp.where(p_hi > p_lo, (p_hi - p_lo + WC - 1) // WC, 0)
+            # iterate ONLY the fixed-grid chunks holding a live candidate:
+            # window flat-spans cover dead rows and grow with n — in the 1M
+            # tie-dense tail a window spans ~250 chunks of which ~15 hold
+            # any of the ~30k alive rows, and the bare per-chunk loop
+            # iteration (~50 us of slices/masks) dominated the step.
+            # Per-chunk alive counts come from boundary gathers on the
+            # existing alive cumsum (a [npad] scatter here cost ~1 ms/step);
+            # the live-chunk list is a stable argsort of the emptiness mask
+            # (jnp.nonzero's reduce-window lowering blew the scoped-vmem
+            # budget at the 1M shapes), ascending so cross-chunk
+            # first-strict-max tie semantics are preserved
+            NCH = (npad + WC - 1) // WC
+            grid = np.arange(NCH + 1, dtype=np.int32) * WC
+            lo_b = jnp.clip(grid[:-1], p_lo, p_hi)
+            hi_b = jnp.clip(grid[1:], p_lo, p_hi)
+            ab = lambda x: jnp.where(
+                x <= 0, 0, crank[jnp.clip(x, 1, npad) - 1])
+            have_c = (ab(hi_b) - ab(lo_b)) > 0
+            nz_chunks = jnp.argsort(~have_c, stable=True).astype(jnp.int32)
+            nchunks = have_c.sum(dtype=jnp.int32)
 
             def chunk_body(sc: SC):
-                start = p_lo + sc.j * WC
+                start = nz_chunks[sc.j] * WC
                 start_c = jnp.minimum(start, np.int32(npad - WC))
                 offs = start_c + np.arange(WC, dtype=np.int32)
-                in_rng = (offs >= start) & (offs < p_hi)
+                in_rng = (offs >= p_lo) & (offs < p_hi)
                 aliv = jax.lax.dynamic_slice(st.alive, (start_c,), (WC,))
                 rk = jax.lax.dynamic_slice(rank, (start_c,), (WC,))
                 ll = jax.lax.dynamic_slice(C["lens"], (start_c,), (WC,))
@@ -1162,7 +1189,10 @@ class DeviceAccumulator:
                     j=sc.j + 1,
                     bh=nbh, bl=nbl, berr=nberr, bpos=npos, bsig=nsig,
                     any_pos=sc.any_pos | pos.any(),
-                    uncert=sc.uncert | unc.any() | unc_tie | unc_cross,
+                    uncert=sc.uncert
+                    | jnp.where(unc.any(), np.int32(1), 0)
+                    | jnp.where(unc_tie, np.int32(2), 0)
+                    | jnp.where(unc_cross, np.int32(4), 0),
                     msum=sc.msum + csum.astype(jnp.int64),
                     mcnt=sc.mcnt + pos.sum(dtype=jnp.int32),
                     pmask=pmask,
@@ -1172,7 +1202,7 @@ class DeviceAccumulator:
             init = SC(
                 j=np.int32(0), bh=neg_inf, bl=neg_inf,
                 berr=np.float32(0.0), bpos=NONE,
-                bsig=zero_sig, any_pos=np.bool_(False), uncert=np.bool_(False),
+                bsig=zero_sig, any_pos=np.bool_(False), uncert=np.int32(0),
                 msum=np.zeros(D, np.int64), mcnt=np.int32(0),
                 pmask=np.zeros(npad, bool),
                 npairs=np.int64(0),
@@ -1214,13 +1244,24 @@ class DeviceAccumulator:
                 bsig: tuple            # (dist2, mag) of best
                 uncert: jnp.ndarray
 
-            nchunks = (env_hi - env_lo + WC - 1) // WC
+            # member-holding fixed-grid chunks only (the member envelope
+            # spans many non-member rows; see the scan_window chunk-skip
+            # note) — members always lie inside the envelope, so per-chunk
+            # member counts are plain reshape reductions
+            NCH = (npad + WC - 1) // WC
+            memb_all = (st.assign == st.cid)
+            pad_n = NCH * WC - npad
+            mm = jnp.concatenate(
+                [memb_all, np.zeros(pad_n, bool)]) if pad_n else memb_all
+            have_c = mm.reshape(NCH, WC).sum(axis=1, dtype=jnp.int32) > 0
+            nz_chunks = jnp.argsort(~have_c, stable=True).astype(jnp.int32)
+            nchunks = have_c.sum(dtype=jnp.int32)
 
             def chunk_body(mc: MC):
-                start = env_lo + mc.j * WC
+                start = nz_chunks[mc.j] * WC
                 start_c = jnp.minimum(start, np.int32(npad - WC))
                 offs = start_c + np.arange(WC, dtype=np.int32)
-                in_rng = (offs >= start) & (offs < env_hi)
+                in_rng = (offs >= env_lo) & (offs < env_hi)
                 asg = jax.lax.dynamic_slice(st.assign, (start_c,), (WC,))
                 stp = jax.lax.dynamic_slice(st.astep, (start_c,), (WC,))
                 memb = in_rng & (asg == st.cid)
@@ -1353,13 +1394,14 @@ class DeviceAccumulator:
                 0,
             )
 
-            sc = scan_window(st, rank, gfront, gback, p_lo, p_hi,
+            sc = scan_window(st, rank, crank, gfront, gback, p_lo, p_hi,
                              blen_c, elen_c)
             is_min = ~sc.any_pos
             best_valid = sc.bpos != NONE
 
             def uncertain_case(st):
-                return st._replace(abort=np.int32(1), done=np.bool_(True))
+                return st._replace(abort=np.int32(1), done=np.bool_(True),
+                                   cause=sc.uncert)
 
             def min_case(st: Carry):
                 centers = st.centers.at[st.cid].set(st.cur)
@@ -1407,7 +1449,7 @@ class DeviceAccumulator:
                 pairs=st.pairs + sc.npairs,
             )
             st = jax.lax.cond(
-                sc.uncert,
+                sc.uncert != 0,
                 uncertain_case,
                 lambda s: jax.lax.cond(is_min, min_case, absorb_case, s),
                 st,
@@ -1443,6 +1485,7 @@ class DeviceAccumulator:
                 msum=C["msum0"], mcnt=C["mcnt0"],
                 env_lo=C["envlo0"], env_hi=C["envhi0"],
                 done=C["done0"], abort=np.int32(0),
+                cause=np.int32(0),
                 iters=np.int32(0),
                 wins=np.int32(0), pairs=np.int64(0),
             )
@@ -1458,7 +1501,7 @@ class DeviceAccumulator:
             i64 = lambda v: v.astype(jnp.int64)
             scalars = jnp.stack([
                 i64(st.abort), i64(st.cid), i64(st.cur), i64(st.iters),
-                i64(st.wins), st.pairs, np.int64(0), np.int64(0)])
+                i64(st.wins), st.pairs, i64(st.cause), np.int64(0)])
             row_pack = ((i64(st.assign) + 1) << 33) \
                 | (i64(st.astep) << 1) | i64(st.alive)
             packed = jnp.concatenate([scalars, row_pack, i64(st.centers)])
@@ -1603,6 +1646,7 @@ class DeviceAccumulator:
         path."""
         profile = bool(os.environ.get("MC2_DEVICE_PROF"))
         abort, cid, cur, iters, wins, pairs = packed[:6]
+        self.last_abort_cause = int(packed[6])
         row_pack = packed[8:8 + npad_out]
         alive = (row_pack & 1).astype(bool)
         astep = ((row_pack >> 1) & 0xFFFFFFFF).astype(np.int32)

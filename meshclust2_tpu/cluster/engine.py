@@ -396,7 +396,14 @@ class MeanShiftEngine:
             return acc.run(bv_, carry=carry) if carry is not None \
                 else acc.run(bv_)
 
-        raw, state = launch(bv)
+        try:
+            raw, state = launch(bv)
+        except Exception as e:  # noqa: BLE001 - device/tunnel crash
+            if forced or os.environ.get("MC2_DEVICE_STRICT"):
+                raise
+            print(f"device accumulate failed ({type(e).__name__}: {e}); "
+                  "falling back to the host paths")
+            return None
         self.stats.windows_scored += getattr(acc, "last_windows", 0)
         self.stats.pairs_scored += getattr(acc, "last_pairs", 0)
         if raw is not None:
@@ -420,7 +427,8 @@ class MeanShiftEngine:
                and getattr(acc, "_ready", None) is not None):
             t_res = _time.time()
             if os.environ.get("MC2_DEVICE_PROF"):
-                print(f"device accumulate: abort stage {state.stage} after "
+                print(f"device accumulate: abort stage {state.stage} "
+                      f"(cause {getattr(acc, 'last_abort_cause', 0)}) after "
                       f"{len(state.clusters_done)} clusters; host resolves "
                       f"{host_steps} steps")
             clusters_done, current, last, bv2 = self._resolve_steps(
@@ -434,16 +442,37 @@ class MeanShiftEngine:
                 current, last, alive_rows)
             if os.environ.get("MC2_DEVICE_PROF"):
                 print(f"device accumulate: resolve+carry {(_time.time() - t_res):.2f}s")
-            raw, state = launch(bv2, carry=carry)
+            try:
+                raw, state = launch(bv2, carry=carry)
+            except Exception as e:  # noqa: BLE001 - device/tunnel crash
+                # the resolved host state is exact: finish on the host
+                if os.environ.get("MC2_DEVICE_STRICT"):
+                    raise
+                print(f"device relaunch failed ({type(e).__name__}: {e}); "
+                      "host completes")
+                from .device_loop import ResumeState
+
+                state = ResumeState(stage=1, clusters_done=[
+                    (c.center_row, c.members) for c in clusters_done],
+                    current_rows=current, last_row=last, bv=bv2)
+                comb = None   # do not retry the device for the phase
+                break
             self.stats.windows_scored += getattr(acc, "last_windows", 0)
             self.stats.pairs_scored += getattr(acc, "last_pairs", 0)
             resumes += 1
             # backoff: aborts arriving in bursts (tie-dense regions) are
-            # cheaper to clear with a batch of exact host steps (~1 ms
-            # each on the native driver) than with one ~0.3-0.5 s device
-            # round trip per step
-            host_steps = 128 if getattr(acc, "last_steps", 0) >= 512 \
-                else min(4 * host_steps, 4096)
+            # cheaper to clear with a batch of exact host steps than with
+            # one ~0.3-0.5 s device round trip per step — but per-step
+            # host cost varies 30x with window size (1 ms at 100k, ~30 ms
+            # in the 1M tie-dense tail), so budget TIME, not steps: aim
+            # for ~1 s of resolution per abort
+            resolve_secs = _time.time() - t_res
+            rate = host_steps / max(resolve_secs, 1e-3)
+            budget = int(max(16, min(4096, rate)))
+            if getattr(acc, "last_steps", 0) >= 512:
+                host_steps = min(128, budget)
+            else:
+                host_steps = min(max(4 * host_steps, 16), budget, 4096)
             if raw is not None:
                 if resumes and os.environ.get("MC2_DEVICE_PROF"):
                     print(f"device accumulate: completed after {resumes} "
@@ -454,27 +483,56 @@ class MeanShiftEngine:
                 f"device accumulate aborted (stage {state.stage}) under "
                 f"MC2_DEVICE_STRICT after {len(state.clusters_done)} clusters")
         # guarded abort: continue on the host from the exact state.  The
-        # completion runs on the fast native/host scorer — the device scorer
-        # would pay per-window dispatch latency for the remaining clusters,
-        # exactly what the device loop exists to avoid.
+        # whole remaining tail goes through the native resumable driver in
+        # ONE call when the model supports it (the per-step Python loop
+        # with native scoring calls cost ~10-15 s for the 1M tail).
         print(f"device accumulate: guarded abort (stage {state.stage}); "
               f"host completes from cluster {len(state.clusters_done)}")
-        clusters = [Cluster(center_row=c, members=m)
-                    for c, m in state.clusters_done]
-        for cl in clusters:
-            prog.step(len(cl.members))
-        saved_scorer = self.scorer
-        from ..native import NativeScorer
+        resolved = self._resolve_steps_native(state, 3 * self.ps.n + 64)
+        if resolved is not None:
+            clusters, current, last, _bv = resolved
+            assert last is None, "unbounded native resume did not finish"
+            for cl in clusters:
+                prog.step(len(cl.members))
+        else:
+            clusters = [Cluster(center_row=c, members=m)
+                        for c, m in state.clusters_done]
+            for cl in clusters:
+                prog.step(len(cl.members))
+            saved_scorer = self.scorer
+            from ..native import NativeScorer
 
-        fast = None if self.ps.counts is None \
-            else NativeScorer.create(self.ps, self.model)
-        self.scorer = fast or self._host_oracle()
-        try:
-            self._host_accumulate_loop(
-                state.bv, prog, clusters, state.last_row,
-                list(state.current_rows), pending_mean=(state.stage == 2))
-        finally:
-            self.scorer = saved_scorer
+            fast = None if self.ps.counts is None \
+                else NativeScorer.create(self.ps, self.model)
+            self.scorer = fast or self._host_oracle()
+            try:
+                self._host_accumulate_loop(
+                    state.bv, prog, clusters, state.last_row,
+                    list(state.current_rows),
+                    pending_mean=(state.stage == 2))
+            finally:
+                self.scorer = saved_scorer
+        # the update phase can still run ON DEVICE: relaunch the combined
+        # program with a completion carry (the last cluster re-presented as
+        # the open cluster; the empty pool closes it immediately and the
+        # program falls through to the phase) — one dispatch instead of
+        # ~iterations x 3 per-iteration update dispatches
+        if (comb is not None and clusters
+                and getattr(acc, "_ready", None) is not None
+                and len(clusters) <= comb.phase.CB):
+            try:
+                carry = acc.make_carry(
+                    [(c.center_row, c.members) for c in clusters[:-1]],
+                    list(clusters[-1].members), clusters[-1].center_row,
+                    np.zeros(0, np.int64))
+                raw2, state2, phres2 = comb.run(state.bv, carry=carry)
+                if raw2 is not None and state2 is None \
+                        and len(raw2) == len(clusters):
+                    self._pending_phase_result = phres2
+            except Exception as e:  # noqa: BLE001 - phase is an optimization
+                if os.environ.get("MC2_DEVICE_PROF"):
+                    print(f"device phase relaunch failed ({e}); "
+                          "per-iteration update paths will run")
         return clusters
 
     def _resolve_steps(self, state, k: int):

@@ -71,6 +71,22 @@ def test_combined_session_abort_resume(fixtures_dir, tmp_path):
     _exact(host, dev)
 
 
+def test_combined_session_fallback_phase_relaunch(fixtures_dir, tmp_path):
+    """A margin storm exhausts the resume budget; the host completes the
+    accumulate tail through the native resumable driver and the combined
+    program is relaunched with a completion carry so the update phase
+    still runs on device.  Output must stay exact."""
+    host = _run_cli(fixtures_dir, tmp_path, "host.clstr",
+                    env={"MC2_NO_DEVICE_LOOP": "1",
+                         "MC2_NO_DEVICE_SESSION": "1"})
+    dev = _run_cli(fixtures_dir, tmp_path, "dev.clstr",
+                   env={"MC2_FORCE_DEVICE_SESSION": "1",
+                        "MC2_DEVICE_LOOP": "1",
+                        "MC2_DD_MARGIN": "1e9",
+                        "MC2_DEV_MAX_RESUMES": "2"})
+    _exact(host, dev)
+
+
 def test_combined_session_med2000(fixtures_dir, tmp_path):
     """Larger pool: many clusters, real merges in the update phase."""
     host = _run_cli(fixtures_dir, tmp_path, "host.clstr",
