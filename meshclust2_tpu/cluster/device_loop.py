@@ -1472,8 +1472,20 @@ class DeviceAccumulator:
             if cap:
                 max_iters = jnp.minimum(max_iters, np.int32(cap))
 
+            # execution-cost budget per dispatch: this environment's
+            # device runtime kills any dispatch executing >= ~60 s, so the
+            # loop yields (abort=4, state carried) when the estimated cost
+            # (~300 us/step + ~100 ns/scored pair) reaches ~30 s; the host
+            # relaunches from the state without any resolution.  At the
+            # measured scales (<= 1M rows, 23 s first dispatch) this never
+            # triggers; it exists so larger pools stay within the limit.
+            budget_us = np.int64(
+                int(os.environ.get("MC2_DEV_BUDGET_US", "30000000")))
+
             def cond(st: Carry):
-                return (~st.done) & (st.iters < max_iters)
+                cost = st.iters.astype(jnp.int64) * 300 + st.pairs // 10
+                return (~st.done) & (st.iters < max_iters) \
+                    & (cost < budget_us)
 
             # initial state from ARGUMENTS: a fresh run passes the
             # first-pop state (_fresh_carry); an abort-resume passes the
@@ -1490,6 +1502,11 @@ class DeviceAccumulator:
                 wins=np.int32(0), pairs=np.int64(0),
             )
             st = jax.lax.while_loop(cond, body, st)
+            # budget exit with no abort recorded -> segment boundary
+            cost = st.iters.astype(jnp.int64) * 300 + st.pairs // 10
+            seg_hit = (~st.done) & (st.abort == 0) & (cost >= budget_us)
+            st = st._replace(
+                abort=jnp.where(seg_hit, np.int32(4), st.abort))
             # ONE packed i64 output so the host pays a single fetch round
             # trip (each np.asarray through the tunnel costs 0.1-0.5 s of
             # link latency; round 4 fetched ten arrays per run):

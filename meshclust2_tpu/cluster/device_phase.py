@@ -103,6 +103,17 @@ class DevicePhaseUpdater:
         self._compiled_by_cb = {}
         self._check_cb(self.CB)
 
+    def seg_iters(self) -> int:
+        """Iterations per dispatch: bounded so a phase segment stays well
+        under the ~60 s single-dispatch execution limit of this
+        environment's device runtime (measured ~4.5-6.5 s/iteration at the
+        1M bucket, ~0.6 s at 131072)."""
+        env = os.environ.get("MC2_PHASE_SEG")
+        if env:
+            return max(1, int(env))
+        est = 0.45 * self.NB / 131072.0    # seconds/iteration estimate
+        return max(1, min(self.iterations, int(30.0 / max(est, 0.05))))
+
     def _check_cb(self, cb: int) -> None:
         """Memory guard for one CB bucket's [CB, D] accumulators."""
         width = 4 if self.sum32 else 8
@@ -233,7 +244,8 @@ class DevicePhaseUpdater:
             unc = ((g1 | g2 | g3).any(axis=1)) & (den_raw > 0)
             return r, s_floor, unc
 
-        def program(S, assign0, seq0, cen0, alivec0, clen0, n):
+        def program(S, assign0, seq0, cen0, alivec0, clen0, n, it0,
+                    hist0, seg):
             valid_row = np.arange(NB, dtype=np.int32) < n
 
             def row_chunk(arr, ci):
@@ -555,6 +567,12 @@ class DevicePhaseUpdater:
                 stop = (st.it >= 3) & (
                     prevC == st.hist[jnp.maximum(st.it - 3, 0)])
                 stop = stop | (st.it >= ITER)
+                # segment budget: this environment's device runtime kills
+                # any single dispatch executing >= ~60 s (measured with a
+                # trivial chained-matmul program), so long phases run as
+                # bounded segments; abort=3 = "segment boundary", the host
+                # relaunches from the carried state
+                seg_end = (st.it - it0) >= seg
 
                 def run_iter(st):
                     st2, unc = iteration(st)
@@ -569,15 +587,21 @@ class DevicePhaseUpdater:
                 return jax.lax.cond(
                     stop,
                     lambda s: s._replace(done=np.bool_(True)),
-                    run_iter,
+                    lambda s: jax.lax.cond(
+                        seg_end,
+                        lambda z: z._replace(abort=np.int32(3),
+                                             done=np.bool_(True)),
+                        run_iter,
+                        s,
+                    ),
                     st,
                 )
 
             st = St(
                 assign=assign0, seq=seq0, cen=cen0, alivec=alivec0,
                 clen=clen0,
-                hist=jnp.zeros(ITER, jnp.int32),
-                it=jnp.zeros((), jnp.int32),
+                hist=hist0,
+                it=it0.astype(jnp.int32),
                 done=jnp.zeros((), bool),
                 abort=jnp.zeros((), jnp.int32),
                 pairs=jnp.zeros((), jnp.int64),
@@ -651,7 +675,9 @@ class DevicePhaseUpdater:
         zb = jnp.zeros(cb, bool)
         prog = self._build(cb)
         compiled = jax.jit(prog).lower(
-            S, zr, zr, zi, zb, zi, np.int32(0)).compile()
+            S, zr, zr, zi, zb, zi, np.int32(0), np.int32(0),
+            jnp.zeros(self.iterations, jnp.int32),
+            np.int32(0)).compile()
         self._compiled_by_cb[cb] = compiled
         return compiled
 
@@ -720,25 +746,44 @@ class DevicePhaseUpdater:
             clen0[j] = len(mem)
         return assign0, seq0, cen0, alivec0, clen0
 
-    def run(self, clusters) -> Optional[PhaseResult]:
+    def run(self, clusters, it0: int = 0,
+            hist0=None) -> Optional[PhaseResult]:
         """clusters: list of objects with .center_row / .members (natural
-        rows, reference order).  Returns a PhaseResult; None when the slot
-        count exceeds every usable bucket."""
+        rows, reference order).  Runs the phase in bounded segments (see
+        seg_iters) until done/abort.  Returns a PhaseResult; None when the
+        slot count exceeds every usable bucket."""
         import time as _time
 
         import jax.numpy as jnp
 
-        C0 = len(clusters)
-        cb = self.pick_cb(C0)
+        cb = self.pick_cb(len(clusters))
         if cb is None:
             return None
         compiled = self._get_compiled(cb)
-        assign0, seq0, cen0, alivec0, clen0 = self.init_arrays(clusters, cb)
+        seg = self.seg_iters()
+        hist = np.zeros(self.iterations, np.int32)
+        if hist0 is not None:
+            hist[:len(hist0)] = hist0
+        pairs = 0
         t0 = _time.time()
-        res = compiled(
-            self._store_arrays(), jnp.asarray(assign0), jnp.asarray(seq0),
-            jnp.asarray(cen0), jnp.asarray(alivec0), jnp.asarray(clen0),
-            np.int32(self.ps.n))
-        packed = np.asarray(res)        # the ONE fetch round trip
-        self.last_exec_seconds = _time.time() - t0
-        return self.unpack(packed, cb)
+        while True:
+            assign0, seq0, cen0, alivec0, clen0 = self.init_arrays(
+                clusters, cb)
+            res = compiled(
+                self._store_arrays(), jnp.asarray(assign0),
+                jnp.asarray(seq0), jnp.asarray(cen0), jnp.asarray(alivec0),
+                jnp.asarray(clen0), np.int32(self.ps.n), np.int32(it0),
+                jnp.asarray(hist), np.int32(seg))
+            packed = np.asarray(res)    # one fetch per segment
+            pr = self.unpack(packed, cb)
+            pairs += pr.pairs
+            if pr.abort != 3:
+                self.last_exec_seconds = _time.time() - t0
+                return pr._replace(pairs=pairs)
+            # segment boundary: relaunch from the carried state
+            from .engine import Cluster as _Cl
+
+            clusters = [_Cl(center_row=c, members=list(m))
+                        for c, m in pr.clusters]
+            it0 = pr.it
+            hist[:len(pr.hist)] = pr.hist

@@ -187,6 +187,13 @@ class DeviceCombined:
         if "counts_nat" not in dev:
             raise DeviceLoopUnsupported(
                 "combined program requires the shared device store")
+        # phase continuation/segment args ride the accumulate arg dict
+        # (the accumulate core ignores unknown keys); a relaunch can
+        # override them to continue a segmented phase mid-way
+        dev = dict(dev)
+        dev["ph_it0"] = np.int32(0)
+        dev["ph_hist0"] = np.zeros(phase.iterations, np.int32)
+        dev["ph_seg"] = np.int32(phase.seg_iters())
         acc._build_program(host, dev)     # sets acc._core_program
         core = acc._core_program
         CB = phase.CB
@@ -236,7 +243,10 @@ class DeviceCombined:
                     slot_alive, (starts[1:] - starts[:-1]).astype(jnp.int32),
                     0)
                 return phase_core(S, assign_nat, seq_nat, cen0,
-                                  slot_alive, clen0, n_s)
+                                  slot_alive, clen0, n_s,
+                                  Cacc["ph_it0"].astype(jnp.int32),
+                                  Cacc["ph_hist0"],
+                                  Cacc["ph_seg"].astype(jnp.int32))
 
             def skip(_):
                 return jnp.full(LPH, np.int64(-1))

@@ -423,16 +423,29 @@ class MeanShiftEngine:
         host_steps = 128
         import time as _time
 
+        seg_relaunches = 0
         while (state is not None and resumes < max_resumes
+               and seg_relaunches < 256
                and getattr(acc, "_ready", None) is not None):
             t_res = _time.time()
-            if os.environ.get("MC2_DEVICE_PROF"):
-                print(f"device accumulate: abort stage {state.stage} "
-                      f"(cause {getattr(acc, 'last_abort_cause', 0)}) after "
-                      f"{len(state.clusters_done)} clusters; host resolves "
-                      f"{host_steps} steps")
-            clusters_done, current, last, bv2 = self._resolve_steps(
-                state, host_steps)
+            was_seg = state.stage == 4
+            if was_seg:
+                # dispatch-budget segment boundary: relaunch from the
+                # carried state directly, nothing to resolve
+                seg_relaunches += 1
+                clusters_done = [Cluster(center_row=c, members=m)
+                                 for c, m in state.clusters_done]
+                current = list(state.current_rows) or [state.last_row]
+                last = state.last_row
+                bv2 = state.bv
+            else:
+                if os.environ.get("MC2_DEVICE_PROF"):
+                    print(f"device accumulate: abort stage {state.stage} "
+                          f"(cause {getattr(acc, 'last_abort_cause', 0)}) "
+                          f"after {len(state.clusters_done)} clusters; "
+                          f"host resolves {host_steps} steps")
+                clusters_done, current, last, bv2 = self._resolve_steps(
+                    state, host_steps)
             if last is None:
                 return clusters_done
             alive_rows = (np.concatenate([b for b in bv2.bins])
@@ -459,7 +472,7 @@ class MeanShiftEngine:
                 break
             self.stats.windows_scored += getattr(acc, "last_windows", 0)
             self.stats.pairs_scored += getattr(acc, "last_pairs", 0)
-            resumes += 1
+            resumes += 0 if was_seg else 1
             # backoff: aborts arriving in bursts (tie-dense regions) are
             # cheaper to clear with a batch of exact host steps than with
             # one ~0.3-0.5 s device round trip per step — but per-step
@@ -945,6 +958,40 @@ class MeanShiftEngine:
             res = pending
             if res is None and self.device_session.phase._compiled is not None:
                 res = self.device_session.phase.run(clusters)
+            # abort==3 = segment boundary (the in-program phase ran its
+            # per-dispatch iteration budget): continue by relaunching the
+            # combined program with a completion carry + phase continuation
+            # args — each relaunch is one bounded dispatch
+            seg_guard = 0
+            while (res is not None and res.abort == 3
+                   and self.device_session.combined is not None
+                   and seg_guard < self.iterations + 2):
+                seg_guard += 1
+                comb = self.device_session.combined
+                acc = self.device_session.accumulator
+                cl_now = [Cluster(center_row=c, members=list(m))
+                          for c, m in res.clusters]
+                hist_pad = np.zeros(self.iterations, np.int32)
+                hist_pad[:len(res.hist)] = res.hist
+                try:
+                    carry = acc.make_carry(
+                        [(c.center_row, c.members) for c in cl_now[:-1]],
+                        list(cl_now[-1].members), cl_now[-1].center_row,
+                        np.zeros(0, np.int64))
+                    carry["ph_it0"] = np.int32(res.it)
+                    carry["ph_hist0"] = hist_pad
+                    pairs_before = res.pairs
+                    raw2, state2, res2 = comb.run(self.device_session.bv,
+                                                  carry=carry)
+                    if raw2 is None or state2 is not None or res2 is None:
+                        break
+                    res = res2._replace(pairs=res2.pairs + pairs_before,
+                                        hist=list(res.hist) + list(
+                                            res2.hist[len(res.hist):]))
+                except Exception as e:  # noqa: BLE001 - device crash
+                    print(f"device phase segment relaunch failed ({e}); "
+                          "host continues")
+                    break
             if res is not None:
                 clusters[:] = [Cluster(center_row=c, members=m)
                                for c, m in res.clusters]

@@ -87,6 +87,23 @@ def test_combined_session_fallback_phase_relaunch(fixtures_dir, tmp_path):
     _exact(host, dev)
 
 
+def test_combined_session_segmented_phase(fixtures_dir, tmp_path):
+    """MC2_PHASE_SEG=1 forces one-iteration phase segments (the device
+    runtime kills any single dispatch executing >= ~60 s, so long phases
+    run as bounded segments continued via completion-carry relaunches).
+    Output must stay exact across the segment boundaries."""
+    host = _run_cli(fixtures_dir, tmp_path, "host.clstr",
+                    env={"MC2_NO_DEVICE_LOOP": "1",
+                         "MC2_NO_DEVICE_SESSION": "1"},
+                    fasta="med2000.fasta", weights="med2000_weights.txt")
+    dev = _run_cli(fixtures_dir, tmp_path, "dev.clstr",
+                   env={"MC2_FORCE_DEVICE_SESSION": "1",
+                        "MC2_DEVICE_LOOP": "1",
+                        "MC2_PHASE_SEG": "1"},
+                   fasta="med2000.fasta", weights="med2000_weights.txt")
+    _exact(host, dev)
+
+
 def test_combined_session_med2000(fixtures_dir, tmp_path):
     """Larger pool: many clusters, real merges in the update phase."""
     host = _run_cli(fixtures_dir, tmp_path, "host.clstr",
