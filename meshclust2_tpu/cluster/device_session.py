@@ -193,7 +193,16 @@ class DeviceCombined:
         dev = dict(dev)
         dev["ph_it0"] = np.int32(0)
         dev["ph_hist0"] = np.zeros(phase.iterations, np.int32)
-        dev["ph_seg"] = np.int32(phase.seg_iters())
+        # in-program phase only when it fits ONE bounded dispatch: at the
+        # 2^20 bucket the whole-phase program runs ~5.5 s/iteration versus
+        # ~2 s for the per-iteration updater's compact ragged batches
+        # (measured, BASELINE.md round 5) AND would cross the 60 s
+        # dispatch kill — ph_seg=0 skips it and the engine's per-iteration
+        # device updater handles the phase in bounded dispatches
+        seg_val = phase.seg_iters()
+        use_inprog = (seg_val >= phase.iterations
+                      or bool(os.environ.get("MC2_PHASE_SEG")))
+        dev["ph_seg"] = np.int32(seg_val if use_inprog else 0)
         acc._build_program(host, dev)     # sets acc._core_program
         core = acc._core_program
         CB = phase.CB
@@ -251,7 +260,8 @@ class DeviceCombined:
             def skip(_):
                 return jnp.full(LPH, np.int64(-1))
 
-            can = (abort == 0) & (cid <= np.int64(CB)) & (cid > 0)
+            can = (abort == 0) & (cid <= np.int64(CB)) & (cid > 0) \
+                & (Cacc["ph_seg"].astype(jnp.int64) > 0)
             ph = jax.lax.cond(can, do_phase, skip, None)
             return (jnp.concatenate([packed, ph]), small, ph, alive,
                     assign, astep, centers)

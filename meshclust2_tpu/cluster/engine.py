@@ -532,7 +532,9 @@ class MeanShiftEngine:
         # ~iterations x 3 per-iteration update dispatches
         if (comb is not None and clusters
                 and getattr(acc, "_ready", None) is not None
-                and len(clusters) <= comb.phase.CB):
+                and len(clusters) <= comb.phase.CB
+                and (comb.phase.seg_iters() >= self.iterations
+                     or os.environ.get("MC2_PHASE_SEG"))):
             try:
                 carry = acc.make_carry(
                     [(c.center_row, c.members) for c in clusters[:-1]],
