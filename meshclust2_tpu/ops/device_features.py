@@ -492,7 +492,11 @@ class DeviceScorer:
                 m = dist.max()
                 tol = self.dist_band * max(abs(m), 1.0)
                 near = dist >= m - tol
-                if near.sum() > 1:
+                # always include the argmax itself (near.any() is always
+                # true): the contract is that the max VALUE is exact f64,
+                # not just the arg — a lone near candidate was previously
+                # skipped, leaving the f32-path value at the max
+                if near.any():
                     borderline |= near
             idx = np.nonzero(borderline)[0]
             if len(idx):
