@@ -1148,7 +1148,17 @@ class DeviceAccumulator:
                                       tie_margin * scale)
                 near = pass_m & (jnp.abs((vh - vh[first_i]) + (vl - vl[first_i]))
                                  <= tie_thr)
-                unc_tie = (near & ~(vexact_eq & sig_eq_best)).any() & chunk_any
+                unc_mask = near & ~(vexact_eq & sig_eq_best)
+                unc_tie = unc_mask.any() & chunk_any
+                # telemetry: dd-value COLLISIONS (bit 8: distinct stats,
+                # equal dd values — unrankable on this arithmetic) vs
+                # within-threshold near values (bit 16: possibly clearable
+                # with tighter error bounds)
+                tie_kind = jnp.where(
+                    (unc_mask & vexact_eq).any() & chunk_any,
+                    np.int32(8), 0) | jnp.where(
+                    (unc_mask & ~vexact_eq).any() & chunk_any,
+                    np.int32(16), 0)
 
                 # merge chunk best into carry best.  Lexicographic dd
                 # compares (valid for quick_two_sum-normalized pairs) — NOT
@@ -1191,7 +1201,7 @@ class DeviceAccumulator:
                     any_pos=sc.any_pos | pos.any(),
                     uncert=sc.uncert
                     | jnp.where(unc.any(), np.int32(1), 0)
-                    | jnp.where(unc_tie, np.int32(2), 0)
+                    | jnp.where(unc_tie, np.int32(2) | tie_kind, 0)
                     | jnp.where(unc_cross, np.int32(4), 0),
                     msum=sc.msum + csum.astype(jnp.int64),
                     mcnt=sc.mcnt + pos.sum(dtype=jnp.int32),
